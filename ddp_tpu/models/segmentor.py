@@ -1,0 +1,159 @@
+"""DDPSegmentor — the flagship noise-to-map semantic segmentation model.
+
+Parity target: class DDP (segmentation/mmseg/models/segmentors/ddp.py:49-290)
+with the ADE/Cityscapes configs: backbone (Swin/ConvNeXt) → FPN →
+MultiStageMerging → single 1/4-scale 256-ch feature map; GT embedded via a
+(K+1)-entry table, squashed to (sigmoid·2−1)·bit_scale; continuous-time cosine
+log-SNR corruption; fusion 1x1 conv over [x, noised_map]; 1024-d time MLP on
+the log-SNR; 6-layer time-FiLM deformable decoder; CE loss at full res + 0.4×
+FCN aux loss; inference = `timesteps`-step DDIM/DDPM rollout with randsteps
+ensembling and softmax accumulation.
+
+TPU-first design notes: NHWC everywhere; rollout unrolled into one XLA program;
+randsteps folded into the batch axis so the decoder runs as one big batched
+matmul workload; all shapes static.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core import diffusion as diff
+from ..core.diffusion import DiffusionConfig
+from ..nn.common import ConvModule
+from ..nn.convnext import ConvNeXt, convnext_variant
+from ..nn.fpn import FPN, MultiStageMerging
+from ..nn.heads import DeformableHeadWithTime, FCNHead
+from ..nn.losses import cross_entropy_seg, seg_accuracy
+from ..nn.swin import SwinTransformer, swin_variant
+from ..nn.time_embed import TimeMLP
+from ..ops.resize import resize
+
+
+class DDPSegmentor(nn.Module):
+    num_classes: int = 150
+    backbone_type: str = "swin"  # 'swin' | 'convnext'
+    backbone_variant: str = "tiny"
+    embed_dims: int = 256
+    bit_scale: float = 0.01
+    diffusion: DiffusionConfig = DiffusionConfig()
+    aux_weight: float = 0.4
+    align_corners: bool = False
+    drop_path_rate: float = 0.3
+    decoder_layers: int = 6
+    decoder_heads: int = 8
+    decoder_ffn_dim: int = 1024
+
+    def setup(self):
+        if self.backbone_type == "swin":
+            kw = swin_variant(self.backbone_variant)
+            self.backbone = SwinTransformer(drop_path_rate=self.drop_path_rate, **kw)
+        elif self.backbone_type == "convnext":
+            kw = convnext_variant(self.backbone_variant)
+            self.backbone = ConvNeXt(drop_path_rate=self.drop_path_rate, **kw)
+        else:
+            raise ValueError(f"unknown backbone {self.backbone_type!r}")
+        self.neck_fpn = FPN(self.embed_dims, num_outs=4)
+        self.neck_merge = MultiStageMerging(self.embed_dims)
+        self.decode_head = DeformableHeadWithTime(
+            self.num_classes, self.embed_dims, num_layers=self.decoder_layers,
+            num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim,
+        )
+        self.aux_head = FCNHead(self.num_classes, self.embed_dims)
+        # K+1 entries: index num_classes is the ignore/padding class (ddp.py:78)
+        self.embedding_table = nn.Embed(self.num_classes + 1, self.embed_dims)
+        # fusion conv: plain 1x1, bias, no norm/act (ddp.py:92-100)
+        self.transform = ConvModule(self.embed_dims, (1, 1))
+        self.time_mlp = TimeMLP(dim=self.embed_dims * 4)
+
+    # --- building blocks -------------------------------------------------
+    def extract_feat(self, img: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """backbone → FPN → merge: [B, H, W, 3] → [B, H/4, W/4, 256]."""
+        feats = self.backbone(img, train=train)
+        feats = self.neck_fpn(feats, train=train)
+        return self.neck_merge(feats, train=train)
+
+    def encode_map(self, labels: jnp.ndarray) -> jnp.ndarray:
+        """Class-index map [..,] → squashed analog-bits latent [.., C]."""
+        emb = self.embedding_table(labels)
+        return (jax.nn.sigmoid(emb) * 2.0 - 1.0) * self.bit_scale
+
+    def denoise_logits(
+        self, x: jnp.ndarray, mask_t: jnp.ndarray, log_snr: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Fuse conditioning features with the noisy latent and decode."""
+        feat = self.transform(jnp.concatenate([x, mask_t], axis=-1), train=train)
+        t_emb = self.time_mlp(log_snr)
+        return self.decode_head(feat, t_emb, train=train)
+
+    # --- training --------------------------------------------------------
+    def __call__(
+        self, img: jnp.ndarray, gt: jnp.ndarray, train: bool = True
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Training loss. gt: [B, H, W] int labels with 255 = ignore.
+
+        Follows forward_train (ddp.py:131-178): nearest-downsample GT to 1/4,
+        255→K, embed+squash, corrupt at t~U(sample_range), fuse, decode,
+        full-res CE + aux FCN CE.
+        """
+        x = self.extract_feat(img, train=train)
+        b, h, w, _ = x.shape
+        gt_down = resize(gt[..., None].astype(jnp.float32), (h, w), mode="nearest")
+        gt_down = gt_down[..., 0].astype(jnp.int32)
+        gt_down = jnp.where(gt_down == 255, self.num_classes, gt_down)
+        latent = self.encode_map(gt_down)  # [B, h, w, C]
+
+        rng = self.make_rng("diffusion")
+        noised, log_snr, _t = diff.corrupt(self.diffusion, rng, latent)
+        logits = self.denoise_logits(x, noised, log_snr, train=train)
+
+        full = gt.shape[1:3]
+        logits_up = resize(logits, full, mode="bilinear", align_corners=self.align_corners)
+        loss_ce = cross_entropy_seg(logits_up, gt)
+        acc = seg_accuracy(logits_up, gt)
+
+        aux_logits = self.aux_head(x, train=train)
+        aux_up = resize(aux_logits, full, mode="bilinear", align_corners=self.align_corners)
+        loss_aux = self.aux_weight * cross_entropy_seg(aux_up, gt)
+
+        loss = loss_ce + loss_aux
+        logs = {
+            "decode.loss_ce": loss_ce,
+            "decode.acc_seg": acc,
+            "aux.loss_ce": loss_aux,
+            "loss": loss,
+        }
+        return loss, logs
+
+    # --- inference -------------------------------------------------------
+    def sample(self, img: jnp.ndarray) -> jnp.ndarray:
+        """Whole-image inference: encode once, multi-step rollout, upsample.
+
+        Returns class probabilities [B, H, W, K] (softmax-accumulated when
+        cfg.accumulation, matching ddim_sample ddp.py:215-246).
+        """
+        cfg = self.diffusion
+        x = self.extract_feat(img, train=False)
+        b, h, w, c = x.shape
+        r = cfg.randsteps
+        xr = jnp.tile(x, (r, 1, 1, 1))  # (r b) folding, r-major like the reference
+
+        def denoise_fn(mask_t, log_snr):
+            logits = self.denoise_logits(xr, mask_t, log_snr, train=False)
+            pred = jnp.argmax(logits, axis=-1)
+            return logits, self.encode_map(pred)
+
+        rng = self.make_rng("diffusion")
+        out = diff.rollout(cfg, rng, denoise_fn, (r * b, h, w, c), dtype=x.dtype,
+                           unroll=True)
+        out = out.reshape(r, b, h, w, self.num_classes).mean(axis=0)
+        return resize(out, img.shape[1:3], mode="bilinear",
+                      align_corners=self.align_corners)
+
+    def predict(self, img: jnp.ndarray) -> jnp.ndarray:
+        """argmax segmentation map [B, H, W]."""
+        return jnp.argmax(self.sample(img), axis=-1)

@@ -1,0 +1,68 @@
+"""Decode heads: the time-conditioned deformable denoising head and the FCN
+auxiliary head.
+
+Parity targets:
+  - DeformableHeadWithTime (segmentation/mmseg/models/decode_heads/
+    deformable_head_with_time.py:21-189): flatten HW → sine pos-enc → 6-layer
+    time-FiLM deformable encoder → reshape → 1x1 conv_seg.
+  - FCNHead (mmseg fcn_head.py; config configs/ade/ddp_swin_t...py:54-68):
+    one 3x3 conv+BN+ReLU, dropout 0.1, 1x1 conv_seg, loss weight 0.4.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import ConvModule
+from .pos_embed import sine_pos_embed
+from .transformer import TimeFiLMEncoder, reference_points
+
+
+class DeformableHeadWithTime(nn.Module):
+    num_classes: int
+    embed_dims: int = 256
+    num_layers: int = 6
+    num_heads: int = 8
+    num_points: int = 4
+    ffn_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time: Optional[jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
+        """x: [B, H, W, C] single-level features; time: [B, 4C] embedding.
+
+        Returns per-pixel class logits [B, H, W, num_classes].
+        """
+        b, h, w, c = x.shape
+        spatial_shapes = ((h, w),)
+        pos = jnp.asarray(sine_pos_embed(h, w, num_feats=self.embed_dims // 2),
+                          dtype=x.dtype)  # [S, C]
+        refs = jnp.asarray(reference_points(spatial_shapes), dtype=x.dtype)
+        q = x.reshape(b, h * w, c)
+        q = TimeFiLMEncoder(
+            self.num_layers, self.embed_dims, self.num_heads, 1, self.num_points,
+            self.ffn_dim, use_time=True, name="encoder",
+        )(q, time, pos, refs, spatial_shapes)
+        q = q.reshape(b, h, w, c)
+        return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(q)
+
+
+class FCNHead(nn.Module):
+    """Auxiliary FCN head on clean encoder features (deep supervision only)."""
+
+    num_classes: int
+    channels: int = 256
+    num_convs: int = 1
+    dropout: float = 0.1
+    norm: str = "SyncBN"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i in range(self.num_convs):
+            x = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                           name=f"conv{i}")(x, train=train)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(x)

@@ -1,0 +1,56 @@
+"""Device mesh construction and sharding rules — the TPU-native replacement
+for the reference's NCCL/torch.distributed stack (SURVEY.md §2.6).
+
+The reference implements data parallelism only (MMDistributedDataParallel
+gradient allreduce, mmseg/apis/train.py:104-113). Here the same capability is
+one ``jax.sharding.Mesh`` + batch-sharded pjit: gradients come out globally
+averaged because the loss mean runs over the global (sharded) batch — XLA
+inserts the psum over ICI. We additionally expose a model axis for optional
+tensor sharding of the decoder, which the reference does not have.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a [data, model] mesh over the available devices.
+
+    Defaults to all devices on the data axis — the reference's pure-DP layout.
+    The model axis is kept innermost so it rides the fastest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), (
+        f"mesh {n_data}x{n_model} != {len(devices)} devices"
+    )
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree onto the mesh, batch-axis sharded."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

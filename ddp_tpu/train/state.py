@@ -1,0 +1,120 @@
+"""Train state + jitted sharded train/eval step factories.
+
+TPU-native equivalent of the reference's IterBasedRunner hot loop
+(mmseg/apis/train.py:194 → train_step → OptimizerHook backward/clip/step,
+SURVEY.md §3.1): here the whole iteration — forward, loss, grad, clip, AdamW
+update, BN stat update, metric reduction — is ONE jitted XLA program over the
+mesh, with donated state so params update in place in HBM.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, params, tx, batch_stats=None, rng=None):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            batch_stats=batch_stats if batch_stats is not None else {},
+            rng=rng if rng is not None else jax.random.PRNGKey(0),
+        )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
+    """Build the jitted train step. ``model`` is a flax module whose __call__
+    returns (loss, logs) given (img, gt, train=True).
+
+    With a mesh: params/opt_state replicated, batch sharded along 'data'.
+    The loss is a global batch mean, so grads are already the DP average —
+    no explicit psum needed (XLA inserts collectives).
+    """
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, new_rng = jax.random.split(state.rng)
+        # fold in step so each iteration sees fresh noise even after restore
+        rng = jax.random.fold_in(rng, state.step)
+        d_rng, drop_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            (loss, logs), mutated = model.apply(
+                variables,
+                batch["image"],
+                batch["label"],
+                train=True,
+                rngs={"diffusion": d_rng, "dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            return loss, (logs, mutated.get("batch_stats", {}))
+
+        (loss, (logs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        logs = dict(logs)
+        logs["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            batch_stats=new_stats,
+            rng=new_rng,
+        )
+        return new_state, logs
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, bsh),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh=None):
+    """Jitted whole-image inference step returning per-image argmax maps."""
+
+    def eval_fn(state: TrainState, batch, rng):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        probs = model.apply(variables, batch["image"], method=model.sample,
+                            rngs={"diffusion": rng})
+        return jnp.argmax(probs, axis=-1)
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(rep, bsh, rep), out_shardings=bsh)

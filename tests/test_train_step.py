@@ -1,0 +1,124 @@
+"""Real multi-device DP training tests on the 8-virtual-device CPU mesh —
+the coverage the reference never had (SURVEY.md §4: mocked distributed only)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddp_tpu.core.diffusion import DiffusionConfig
+from ddp_tpu.models.segmentor import DDPSegmentor
+from ddp_tpu.parallel.mesh import make_mesh, shard_batch
+from ddp_tpu.train.optim import OptimConfig, make_optimizer, make_lr_schedule
+from ddp_tpu.train.state import TrainState, make_train_step
+
+
+def tiny_model():
+    return DDPSegmentor(
+        num_classes=5,
+        backbone_type="convnext",
+        backbone_variant="nano",
+        embed_dims=32,
+        decoder_layers=2,
+        decoder_heads=4,
+        decoder_ffn_dim=64,
+        diffusion=DiffusionConfig(timesteps=1),
+        drop_path_rate=0.0,
+    )
+
+
+def make_batch(n=8, hw=32):
+    rng = np.random.RandomState(0)
+    return {
+        "image": jnp.asarray(rng.randn(n, hw, hw, 3), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, 5, (n, hw, hw)), jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_model()
+    batch = make_batch(2)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        batch["image"][:1], batch["label"][:1], train=False,
+    )
+    cfg = OptimConfig(lr=1e-3, total_steps=100, warmup_steps=0)
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx,
+                              variables.get("batch_stats", {}),
+                              jax.random.PRNGKey(3))
+    return model, tx, state
+
+
+def test_single_device_step_decreases_loss(setup):
+    model, tx, state = setup
+    step = make_train_step(model, tx, mesh=None, donate=False)
+    batch = make_batch(2)
+    losses = []
+    for _ in range(3):
+        state, logs = step(state, batch)
+        losses.append(float(logs["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 3
+
+
+def test_mesh_train_step_runs_on_8_devices(setup):
+    model, tx, state = setup
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    step = make_train_step(model, tx, mesh=mesh, donate=False)
+    batch = shard_batch(mesh, make_batch(8))
+    state2, logs = step(state, batch)
+    assert np.isfinite(float(logs["loss"]))
+    assert float(logs["grad_norm"]) > 0
+
+
+def test_mesh_matches_single_device_grads(setup):
+    """DP on 8 devices must equal single-device math on the same global batch."""
+    model, tx, state = setup
+    batch = make_batch(8)
+    step1 = make_train_step(model, tx, mesh=None, donate=False)
+    s1, logs1 = step1(state, batch)
+
+    mesh = make_mesh()
+    stepN = make_train_step(model, tx, mesh=mesh, donate=False)
+    sN, logsN = stepN(state, shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(logs1["loss"]), float(logsN["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(logs1["grad_norm"]), float(logsN["grad_norm"]),
+                               rtol=1e-4)
+    # parameters after one update agree
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    lN = jax.tree_util.tree_leaves(sN.params)
+    for a, b in zip(l1, lN):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_lr_schedule_poly_warmup():
+    cfg = OptimConfig(lr=6e-5, total_steps=160_000, warmup_steps=1500,
+                      warmup_ratio=1e-6, schedule="poly", power=1.0)
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(6e-5 * 1e-6, rel=1e-3)
+    assert float(sched(1500)) == pytest.approx(6e-5 * (1 - 1500 / 160_000), rel=1e-3)
+    assert float(sched(160_000)) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_weight_decay_mask(setup):
+    """Norm/bias params must not be weight-decayed (custom_keys norm decay 0)."""
+    model, tx, state = setup
+    params = state.params
+    from ddp_tpu.train.optim import _path_str, _rule_for, OptimConfig as OC
+
+    cfg = OC()
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    checked_bias = checked_kernel = False
+    for path, leaf in flat:
+        p = _path_str(path)
+        lr_mult, decay = _rule_for(p, leaf, cfg.custom_keys)
+        if "bias" in p:
+            assert decay == 0.0, p
+            checked_bias = True
+        if "pwconv1/kernel" in p:
+            assert decay == 1.0, p
+            checked_kernel = True
+    assert checked_bias and checked_kernel
