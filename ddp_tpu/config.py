@@ -1,0 +1,250 @@
+"""Unified configuration system.
+
+The reference uses three different config stacks (mmcv python-dict configs
+with _base_ inheritance, torchpack YAML with ${...} eval, and argparse
+constants — SURVEY.md §2.7). Here one system covers all tasks: frozen
+dataclasses + named presets (mirroring every DDP config file) + YAML overlay +
+dotted-path CLI overrides (`--set model.bit_scale=0.1 optim.lr=1e-4`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+from .core.diffusion import DiffusionConfig
+from .train.optim import OptimConfig
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    task: str = "seg"  # 'seg' | 'depth' | 'bev'
+    backbone_type: str = "swin"
+    backbone_variant: str = "tiny"
+    num_classes: int = 150
+    embed_dims: int = 256
+    bit_scale: float = 0.01
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    aux_weight: float = 0.4
+    drop_path_rate: float = 0.3
+    self_aligned: bool = False
+    decoder_layers: int = 6
+    decoder_heads: int = 8
+    decoder_ffn_dim: int = 1024
+    # depth-specific
+    max_depth: float = 10.0
+    min_depth: float = 1e-3
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "ade20k"
+    data_root: str = "data/ade/ADEChallengeData2016"
+    crop_size: Tuple[int, int] = (512, 512)
+    batch_size: int = 16  # GLOBAL batch (the reference encodes gpus x per-gpu)
+    num_workers: int = 2
+    # train-pipeline knobs (mmseg transforms.py semantics)
+    ratio_range: Tuple[float, float] = (0.5, 2.0)
+    cat_max_ratio: float = 0.75
+    flip_prob: float = 0.5
+    ignore_index: int = 255
+    # normalization (mmseg img_norm_cfg defaults)
+    mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    total_iters: int = 160_000
+    log_interval: int = 50
+    ckpt_interval: int = 16_000
+    eval_interval: int = 16_000
+    max_keep_ckpts: int = -1
+    seed: int = 0
+    workdir: str = "work_dirs/default"
+    mixed_precision: bool = True  # bf16 activations on TPU
+    test_mode: str = "whole"  # 'whole' | 'slide'
+    test_crop: Tuple[int, int] = (1024, 1024)
+    test_stride: Tuple[int, int] = (768, 768)
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    name: str = "custom"
+
+
+def _replace_path(cfg: Any, dotted: str, value: Any):
+    """Immutable deep-replace along a dotted path of dataclass fields."""
+    head, _, rest = dotted.partition(".")
+    if not dataclasses.is_dataclass(cfg):
+        raise KeyError(f"cannot descend into non-dataclass at {head!r}")
+    cur = getattr(cfg, head)
+    new = _replace_path(cur, rest, value) if rest else _coerce(cur, value)
+    return dataclasses.replace(cfg, **{head: new})
+
+
+def _coerce(old: Any, value: Any):
+    if isinstance(value, str) and old is not None and not isinstance(old, str):
+        t = type(old)
+        if t is bool:
+            return value.lower() in ("1", "true", "yes")
+        if t is tuple:
+            items = [v for v in value.strip("()[] ").split(",") if v]
+            inner = type(old[0]) if old else float
+            return tuple(inner(v) for v in items)
+        return t(value)
+    return value
+
+
+def apply_overrides(cfg: Config, overrides: Dict[str, Any]) -> Config:
+    for k, v in overrides.items():
+        cfg = _replace_path(cfg, k, v)
+    return cfg
+
+
+def load_yaml_overlay(cfg: Config, path: str) -> Config:
+    """Overlay a YAML file of dotted keys or nested dicts onto a preset."""
+    import yaml
+
+    with open(path) as f:
+        tree = yaml.safe_load(f) or {}
+
+    def flatten(prefix, node, out):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                flatten(f"{prefix}{k}." if not prefix else f"{prefix}{k}.", v, out) \
+                    if isinstance(v, dict) else out.update({f"{prefix}{k}": v})
+        return out
+
+    flat: Dict[str, Any] = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            stack = [(k, v)]
+            while stack:
+                p, node = stack.pop()
+                for kk, vv in node.items():
+                    if isinstance(vv, dict):
+                        stack.append((f"{p}.{kk}", vv))
+                    else:
+                        flat[f"{p}.{kk}"] = vv
+        else:
+            flat[k] = v
+    return apply_overrides(cfg, flat)
+
+
+# --- named presets, mirroring the reference's DDP config files -------------
+
+def _seg(name, backbone, variant, dataset, classes, crop, bs, bit_scale,
+         timesteps=3, accumulation=True, lr=6e-5, grad_clip=0.1,
+         iters=160_000, self_aligned=False, drop_path=0.3, **rt):
+    return Config(
+        name=name,
+        model=ModelConfig(
+            task="seg", backbone_type=backbone, backbone_variant=variant,
+            num_classes=classes, bit_scale=bit_scale, self_aligned=self_aligned,
+            drop_path_rate=drop_path,
+            diffusion=DiffusionConfig(timesteps=timesteps, accumulation=accumulation),
+        ),
+        data=DataConfig(dataset=dataset, crop_size=crop, batch_size=bs,
+                        data_root=_DATA_ROOTS.get(dataset, "data")),
+        optim=OptimConfig(lr=lr, grad_clip=grad_clip, total_steps=iters),
+        runtime=RuntimeConfig(total_iters=iters, **rt),
+    )
+
+
+_DATA_ROOTS = {
+    "ade20k": "data/ade/ADEChallengeData2016",
+    "cityscapes": "data/cityscapes",
+    "nyu": "data/nyu",
+    "kitti": "data/kitti",
+    "nuscenes": "data/nuscenes",
+    "synthetic": "",
+}
+
+PRESETS: Dict[str, Any] = {}
+
+# ADE20K Swin family (configs/ade/ddp_swin_{t,s,b,l}_2x8_512x512_160k_ade20k.py)
+for _v in ("tiny", "small", "base", "large"):
+    PRESETS[f"ade20k_swin_{_v[0]}"] = lambda v=_v: _seg(
+        f"ade20k_swin_{v[0]}", "swin", v, "ade20k", 150, (512, 512), 16, 0.01)
+
+# Cityscapes ConvNeXt + Swin families
+# (configs/cityscapes/ddp_{convnext,swin}_*_4x4_512x1024_160k_cityscapes.py)
+for _b in ("convnext", "swin"):
+    for _v in ("tiny", "small", "base", "large"):
+        PRESETS[f"cityscapes_{_b}_{_v[0]}"] = lambda b=_b, v=_v: _seg(
+            f"cityscapes_{b}_{v[0]}", b, v, "cityscapes", 19, (512, 1024), 16,
+            0.01, drop_path=0.4 if b == "convnext" else 0.3)
+
+# Self-aligned fine-tune (configs/cityscapes/ddp_convnext_t_4x4_512x1024_5k_
+# cityscapes_aligned.py: timesteps=10, lr 10x lower, 5K iters)
+for _v in ("tiny", "large"):
+    PRESETS[f"cityscapes_convnext_{_v[0]}_aligned"] = lambda v=_v: _seg(
+        f"cityscapes_convnext_{v[0]}_aligned", "convnext", v, "cityscapes", 19,
+        (512, 1024), 16, 0.01, timesteps=10, lr=6e-6, iters=5000,
+        self_aligned=True, drop_path=0.4)
+
+# tiny CPU-runnable smoke preset
+PRESETS["smoke"] = lambda: Config(
+    name="smoke",
+    model=ModelConfig(task="seg", backbone_type="convnext",
+                      backbone_variant="nano", num_classes=7, embed_dims=32,
+                      decoder_layers=2, decoder_heads=4, decoder_ffn_dim=64,
+                      drop_path_rate=0.0,
+                      diffusion=DiffusionConfig(timesteps=2)),
+    data=DataConfig(dataset="synthetic", crop_size=(32, 32), batch_size=8),
+    optim=OptimConfig(lr=1e-3, total_steps=100, warmup_steps=10, grad_clip=1.0),
+    runtime=RuntimeConfig(total_iters=100, log_interval=10, ckpt_interval=50,
+                          eval_interval=50, workdir="work_dirs/smoke"),
+)
+
+
+def get_config(name: str, overrides: Optional[Dict[str, Any]] = None) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    cfg = PRESETS[name]()
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def build_model(mc: ModelConfig):
+    """Model factory from config (the reference's registry builder role)."""
+    if mc.task == "seg":
+        from .models.segmentor import DDPSegmentor
+
+        return DDPSegmentor(
+            num_classes=mc.num_classes,
+            backbone_type=mc.backbone_type,
+            backbone_variant=mc.backbone_variant,
+            embed_dims=mc.embed_dims,
+            bit_scale=mc.bit_scale,
+            diffusion=mc.diffusion,
+            aux_weight=mc.aux_weight,
+            drop_path_rate=mc.drop_path_rate,
+            decoder_layers=mc.decoder_layers,
+            decoder_heads=mc.decoder_heads,
+            decoder_ffn_dim=mc.decoder_ffn_dim,
+            self_aligned=mc.self_aligned,
+        )
+    if mc.task == "depth":
+        from .models.depther import DDPDepther
+
+        return DDPDepther(
+            backbone_type=mc.backbone_type,
+            backbone_variant=mc.backbone_variant,
+            embed_dims=mc.embed_dims,
+            bit_scale=mc.bit_scale,
+            diffusion=mc.diffusion,
+            drop_path_rate=mc.drop_path_rate,
+            decoder_layers=mc.decoder_layers,
+            decoder_heads=mc.decoder_heads,
+            decoder_ffn_dim=mc.decoder_ffn_dim,
+            max_depth=mc.max_depth,
+            min_depth=mc.min_depth,
+        )
+    raise ValueError(f"unknown task {mc.task!r}")

@@ -46,6 +46,9 @@ class DDPSegmentor(nn.Module):
     decoder_layers: int = 6
     decoder_heads: int = 8
     decoder_ffn_dim: int = 1024
+    # SelfAlignedDDP training mode (self_aligned_ddp.py:130-185): denoise the
+    # model's OWN t=1 prediction instead of the GT latent
+    self_aligned: bool = False
 
     def setup(self):
         if self.backbone_type == "swin":
@@ -102,13 +105,27 @@ class DDPSegmentor(nn.Module):
         """
         x = self.extract_feat(img, train=train)
         b, h, w, _ = x.shape
-        gt_down = resize(gt[..., None].astype(jnp.float32), (h, w), mode="nearest")
-        gt_down = gt_down[..., 0].astype(jnp.int32)
-        gt_down = jnp.where(gt_down == 255, self.num_classes, gt_down)
-        latent = self.encode_map(gt_down)  # [B, h, w, C]
 
         rng = self.make_rng("diffusion")
-        noised, log_snr, _t = diff.corrupt(self.diffusion, rng, latent)
+        if self.self_aligned:
+            # Stage 1 (no grad): decode from pure noise at t=1, re-embed the
+            # model's own prediction; stage 2 corrupts THAT with the same
+            # noise draw (self_aligned_ddp.py:149-173).
+            noise_rng, t_rng = jax.random.split(rng)
+            noise = jax.random.normal(noise_rng, x.shape, x.dtype)
+            log_snr1 = self.diffusion.log_snr_fn(jnp.ones((b,), x.dtype))
+            logits1 = self.denoise_logits(x, noise, log_snr1, train=False)
+            pred = jnp.argmax(jax.lax.stop_gradient(logits1), axis=-1)
+            latent = self.encode_map(pred)
+            t = diff.sample_times(t_rng, b, self.diffusion.sample_range)
+            log_snr = self.diffusion.log_snr_fn(t)
+            noised = diff.q_sample(latent, log_snr, noise)
+        else:
+            gt_down = resize(gt[..., None].astype(jnp.float32), (h, w), mode="nearest")
+            gt_down = gt_down[..., 0].astype(jnp.int32)
+            gt_down = jnp.where(gt_down == 255, self.num_classes, gt_down)
+            latent = self.encode_map(gt_down)  # [B, h, w, C]
+            noised, log_snr, _t = diff.corrupt(self.diffusion, rng, latent)
         logits = self.denoise_logits(x, noised, log_snr, train=train)
 
         full = gt.shape[1:3]

@@ -1,0 +1,111 @@
+"""The training loop — TPU-native IterBasedRunner equivalent.
+
+Replaces the reference's runner+hooks pyramid (mmcv IterBasedRunner with
+LrUpdater/Optimizer/Checkpoint/Eval/Logger hooks — SURVEY.md §1 layer 3) with
+a flat loop around ONE jitted step: LR schedule and clipping live inside the
+optax chain, checkpointing via orbax, logging/eval as host callbacks on an
+interval. Deterministic seeding comes from a single folded PRNG key (the
+reference's rank-0 seed broadcast is unnecessary — every host folds the same
+key).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config, build_model
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoint import CheckpointManager
+from .optim import make_optimizer
+from .state import TrainState, make_train_step
+
+
+class MetricLogger:
+    """Text + JSONL logger (TextLoggerHook equivalent)."""
+
+    def __init__(self, workdir: str, interval: int = 50):
+        os.makedirs(workdir, exist_ok=True)
+        self.path = os.path.join(workdir, "train_log.jsonl")
+        self.interval = interval
+        self._t0 = time.time()
+        self._last_step = 0
+
+    def log(self, step: int, logs: Dict[str, float], lr: float):
+        now = time.time()
+        steps_per_s = (step - self._last_step) / max(now - self._t0, 1e-9)
+        self._t0, self._last_step = now, step
+        rec = {"step": step, "lr": lr, "steps_per_s": round(steps_per_s, 3)}
+        rec.update({k: float(v) for k, v in logs.items()})
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        msg = " ".join(f"{k}={v:.4g}" for k, v in rec.items() if k != "step")
+        print(f"[step {step}] {msg}", flush=True)
+
+
+def train(
+    cfg: Config,
+    data_iter: Iterator[Dict[str, np.ndarray]],
+    eval_fn: Optional[Callable[[TrainState, int], Dict[str, float]]] = None,
+    mesh=None,
+    resume: bool = False,
+    init_params=None,
+) -> TrainState:
+    """Run cfg.runtime.total_iters steps. ``data_iter`` yields host batches
+    {'image': [B,H,W,C], 'label': ...} with B = global batch size."""
+    model = build_model(cfg.model)
+    rt = cfg.runtime
+    if mesh is None:
+        mesh = make_mesh()
+
+    rng = jax.random.PRNGKey(rt.seed)
+    init_rng, state_rng = jax.random.split(rng)
+
+    batch0 = next(data_iter)
+    if init_params is None:
+        variables = model.init(
+            {"params": init_rng, "diffusion": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            jax.numpy.asarray(batch0["image"][:1]),
+            jax.numpy.asarray(batch0["label"][:1]),
+            train=False,
+        )
+    else:
+        variables = init_params
+    tx = make_optimizer(cfg.optim, variables["params"])
+    state = TrainState.create(variables["params"], tx,
+                              variables.get("batch_stats", {}), state_rng)
+
+    ckpt = CheckpointManager(rt.workdir, rt.max_keep_ckpts)
+    start_step = 0
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_step = int(state.step)
+        print(f"resumed from step {start_step}", flush=True)
+
+    step_fn = make_train_step(model, tx, mesh=mesh)
+    logger = MetricLogger(rt.workdir, rt.log_interval)
+    from .optim import make_lr_schedule
+
+    sched = make_lr_schedule(cfg.optim)
+
+    batch = batch0
+    for step in range(start_step, rt.total_iters):
+        state, logs = step_fn(state, shard_batch(mesh, batch))
+        if (step + 1) % rt.log_interval == 0 or step == start_step:
+            logger.log(step + 1, jax.device_get(logs), float(sched(step)))
+        if (step + 1) % rt.ckpt_interval == 0 or (step + 1) == rt.total_iters:
+            ckpt.save(step + 1, jax.device_get(state), meta={"config": cfg})
+        if eval_fn is not None and ((step + 1) % rt.eval_interval == 0
+                                    or (step + 1) == rt.total_iters):
+            metrics = eval_fn(state, step + 1)
+            print(f"[eval @ {step + 1}] " +
+                  " ".join(f"{k}={v:.4f}" for k, v in metrics.items()
+                           if isinstance(v, float)), flush=True)
+        if step + 1 < rt.total_iters:
+            batch = next(data_iter)
+    return state

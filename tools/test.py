@@ -1,0 +1,99 @@
+"""Evaluation CLI — reference segmentation/tools/test.py equivalent.
+
+Runs whole-image or slide inference over a validation set and prints the
+mIoU/aAcc/mAcc table (mmseg eval_metrics semantics).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="ddp_tpu evaluator")
+    p.add_argument("preset")
+    p.add_argument("--workdir", default=None, help="checkpoint dir to restore")
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--limit", type=int, default=None, help="max eval images")
+    p.add_argument("--seed", type=int, default=0, help="diffusion eval seed")
+    p.add_argument("--set", nargs="*", default=[], metavar="K=V")
+    p.add_argument("--platform", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddp_tpu.config import apply_overrides, build_model, get_config
+    from ddp_tpu.data.seg_datasets import SegDataset, SyntheticSegDataset
+    from ddp_tpu.data.pipelines import normalize
+    from ddp_tpu.evaluation.metrics import SegMetricAccumulator
+    from ddp_tpu.evaluation.slide import slide_inference
+    from ddp_tpu.train.checkpoint import CheckpointManager
+    from ddp_tpu.train.optim import make_optimizer
+    from ddp_tpu.train.state import TrainState
+
+    cfg = get_config(args.preset, dict(kv.split("=", 1) for kv in args.set))
+    model = build_model(cfg.model)
+
+    if cfg.data.dataset == "synthetic":
+        ds = SyntheticSegDataset(cfg.model.num_classes, cfg.data.crop_size)
+    else:
+        ds = SegDataset(cfg.data.data_root, "val", cfg.data.dataset)
+    n = min(len(ds), args.limit or len(ds))
+
+    sample0 = ds.load(0)
+    img0 = jnp.asarray(sample0["image"][None])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        img0, jnp.asarray(sample0["label"][None]), train=False,
+    )
+    workdir = args.workdir or cfg.runtime.workdir
+    ckpt = CheckpointManager(workdir)
+    if ckpt.latest_step() is not None:
+        tx = make_optimizer(cfg.optim, variables["params"])
+        tmpl = TrainState.create(variables["params"], tx,
+                                 variables.get("batch_stats", {}))
+        state = ckpt.restore(jax.device_get(tmpl), args.step)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        print(f"restored step {int(state.step)} from {workdir}")
+
+    @jax.jit
+    def predict(variables, img, rng):
+        def fn(im):
+            return model.apply(variables, im, method=model.sample,
+                               rngs={"diffusion": rng})
+
+        if cfg.runtime.test_mode == "slide":
+            return slide_inference(fn, img, cfg.model.num_classes,
+                                   cfg.runtime.test_crop, cfg.runtime.test_stride)
+        return fn(img)
+
+    acc = SegMetricAccumulator(cfg.model.num_classes)
+    rng = jax.random.PRNGKey(args.seed)
+    for i in range(n):
+        s = ds.load(i)
+        s = normalize(s, cfg.data.mean, cfg.data.std)
+        probs = predict(variables, jnp.asarray(s["image"][None]),
+                        jax.random.fold_in(rng, i))
+        pred = np.argmax(np.asarray(probs[0]), -1)
+        acc.update(pred, s["label"])
+        if (i + 1) % 50 == 0:
+            print(f"eval {i + 1}/{n}", flush=True)
+    m = acc.compute()
+    print(f"aAcc {m['aAcc'] * 100:.2f} | mIoU {m['mIoU'] * 100:.2f} | "
+          f"mAcc {m['mAcc'] * 100:.2f}  (n={n})")
+
+
+if __name__ == "__main__":
+    main()
