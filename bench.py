@@ -15,6 +15,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from ddp_tpu.core.diffusion import DiffusionConfig

@@ -34,6 +34,17 @@ class ModelConfig:
     # depth-specific
     max_depth: float = 10.0
     min_depth: float = 1e-3
+    # bev-specific (defaults = the reference camera-bev256d2 geometry)
+    bev_image_size: Tuple[int, int] = (256, 704)
+    bev_out_grid: int = 200
+    bev_input_scope: Tuple = ((-51.2, 51.2, 0.8), (-51.2, 51.2, 0.8))
+    bev_output_scope: Tuple = ((-50.0, 50.0, 0.5), (-50.0, 50.0, 0.5))
+    bev_xbound: Tuple[float, float, float] = (-51.2, 51.2, 0.4)
+    bev_ybound: Tuple[float, float, float] = (-51.2, 51.2, 0.4)
+    bev_zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
+    bev_dbound: Tuple[float, float, float] = (1.0, 60.0, 0.5)
+    bev_lss_channels: int = 80
+    bev_blocks: Tuple = ((2, 160, 2), (2, 320, 2), (2, 640, 1))
 
 
 @dataclass(frozen=True)
@@ -188,6 +199,48 @@ for _v in ("tiny", "large"):
         (512, 1024), 16, 0.01, timesteps=10, lr=6e-6, iters=5000,
         self_aligned=True, drop_path=0.4)
 
+# Depth: NYU / KITTI Swin families (depth/configs/ddp_{nyu,kitti}/ddp_swin*_
+# scale01.py: bit_scale 0.1, 3-step, cosine-annealing lr 6e-5, warmup 12800
+# iters ratio 1e-3, grad clip 35, 38400 iters, bs 2x8)
+def _depth(name, variant, dataset, max_depth, crop):
+    return Config(
+        name=name,
+        model=ModelConfig(task="depth", backbone_type="swin",
+                          backbone_variant=variant, bit_scale=0.1,
+                          max_depth=max_depth, min_depth=1e-3,
+                          diffusion=DiffusionConfig(timesteps=3, accumulation=False)),
+        data=DataConfig(dataset=dataset, crop_size=crop, batch_size=16,
+                        data_root=_DATA_ROOTS.get(dataset, "data")),
+        optim=OptimConfig(lr=6e-5, grad_clip=35.0, total_steps=38_400,
+                          schedule="cosine", warmup_steps=12_800,
+                          warmup_ratio=1e-3),
+        runtime=RuntimeConfig(total_iters=38_400, ckpt_interval=1600,
+                              eval_interval=1600, max_keep_ckpts=2),
+    )
+
+
+for _v in ("tiny", "small", "base", "large"):
+    PRESETS[f"nyu_swin_{_v[0]}"] = lambda v=_v: _depth(
+        f"nyu_swin_{v[0]}", v, "nyu", 10.0, (416, 544))
+    PRESETS[f"kitti_swin_{_v[0]}"] = lambda v=_v: _depth(
+        f"kitti_swin_{v[0]}", v, "kitti", 80.0, (352, 704))
+
+# BEV: nuScenes camera-only map segmentation (bev/configs/nuscenes/seg/
+# ddp-camera-bev256d2-lss-scale001-d5-lr5e-5.yaml: Swin-T, LSS, 5 decoder
+# layers, randsteps 5, bit_scale 0.01, lr 5e-5, clip 35)
+PRESETS["nuscenes_camera"] = lambda: Config(
+    name="nuscenes_camera",
+    model=ModelConfig(task="bev", backbone_type="swin", backbone_variant="tiny",
+                      num_classes=6, bit_scale=0.01, decoder_layers=5,
+                      diffusion=DiffusionConfig(timesteps=3, randsteps=5)),
+    data=DataConfig(dataset="nuscenes", batch_size=8,
+                    data_root=_DATA_ROOTS["nuscenes"], crop_size=(256, 704)),
+    optim=OptimConfig(lr=5e-5, grad_clip=35.0, total_steps=42_000,
+                      schedule="cosine", warmup_steps=1000),
+    runtime=RuntimeConfig(total_iters=42_000, ckpt_interval=2000,
+                          eval_interval=2000),
+)
+
 # tiny CPU-runnable smoke preset
 PRESETS["smoke"] = lambda: Config(
     name="smoke",
@@ -200,6 +253,25 @@ PRESETS["smoke"] = lambda: Config(
     optim=OptimConfig(lr=1e-3, total_steps=100, warmup_steps=10, grad_clip=1.0),
     runtime=RuntimeConfig(total_iters=100, log_interval=10, ckpt_interval=50,
                           eval_interval=50, workdir="work_dirs/smoke"),
+)
+
+
+PRESETS["smoke_bev"] = lambda: Config(
+    name="smoke_bev",
+    model=ModelConfig(task="bev", backbone_type="swin", backbone_variant="nano",
+                      num_classes=3, embed_dims=32, decoder_layers=1,
+                      decoder_heads=4, decoder_ffn_dim=64, drop_path_rate=0.0,
+                      diffusion=DiffusionConfig(timesteps=2, randsteps=2),
+                      bev_image_size=(32, 64), bev_out_grid=20,
+                      bev_input_scope=((-8.0, 8.0, 1.0), (-8.0, 8.0, 1.0)),
+                      bev_output_scope=((-8.0, 8.0, 0.8), (-8.0, 8.0, 0.8)),
+                      bev_xbound=(-8.0, 8.0, 0.5), bev_ybound=(-8.0, 8.0, 0.5),
+                      bev_dbound=(1.0, 9.0, 1.0), bev_lss_channels=16,
+                      bev_blocks=((1, 24, 2), (1, 32, 1))),
+    data=DataConfig(dataset="synthetic", batch_size=4, crop_size=(32, 64)),
+    optim=OptimConfig(lr=1e-3, total_steps=60, warmup_steps=5, grad_clip=5.0),
+    runtime=RuntimeConfig(total_iters=60, log_interval=10, ckpt_interval=30,
+                          eval_interval=1000, workdir="work_dirs/smoke_bev"),
 )
 
 
@@ -230,6 +302,30 @@ def build_model(mc: ModelConfig):
             decoder_heads=mc.decoder_heads,
             decoder_ffn_dim=mc.decoder_ffn_dim,
             self_aligned=mc.self_aligned,
+        )
+    if mc.task == "bev":
+        from .models.bev import DDPBEVCamera
+
+        return DDPBEVCamera(
+            num_classes=mc.num_classes,
+            embed_dims=mc.embed_dims,
+            bit_scale=mc.bit_scale,
+            diffusion=mc.diffusion,
+            backbone_variant=mc.backbone_variant,
+            decoder_layers=mc.decoder_layers,
+            decoder_heads=mc.decoder_heads,
+            decoder_ffn_dim=mc.decoder_ffn_dim,
+            drop_path_rate=mc.drop_path_rate,
+            image_size=mc.bev_image_size,
+            out_grid=mc.bev_out_grid,
+            input_scope=mc.bev_input_scope,
+            output_scope=mc.bev_output_scope,
+            xbound=mc.bev_xbound,
+            ybound=mc.bev_ybound,
+            zbound=mc.bev_zbound,
+            dbound=mc.bev_dbound,
+            lss_out_channels=mc.bev_lss_channels,
+            bev_blocks=mc.bev_blocks,
         )
     if mc.task == "depth":
         from .models.depther import DDPDepther

@@ -1,0 +1,191 @@
+"""nuScenes BEV map-segmentation data.
+
+Parity target: bev/mmdet3d/datasets/nuscenes_dataset.py + the BEVFusion
+pipeline (loading.py multi-view images, ImageAug3D resize/crop to 256x704,
+gt_masks_bev rasterized from the nuScenes map, configs/nuscenes/default.yaml).
+
+Two sources:
+  - NuScenesBEVDataset: reads BEVFusion-style preprocessed ``*_infos_*.pkl``
+    files when present (camera paths + calibration), rasterized map masks
+    loaded from companion .npz files.
+  - SyntheticBEVDataset: procedural camera rig + BEV masks with consistent
+    geometry (objects placed in the ego frame are painted into both the
+    camera images and the BEV masks) so the camera→BEV pipeline is learnable
+    in tests without real data.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+BEV_BATCH_KEYS = ("image", "cam2lidar_rots", "cam2lidar_trans", "intrins",
+                  "post_rots", "post_trans", "label")
+
+
+def _look_at_ground() -> np.ndarray:
+    """Camera-frame axes (x right, y down, z forward) → ego frame mapping."""
+    return np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32).T
+
+
+class SyntheticBEVDataset:
+    """N outward-facing cameras around the ego; colored boxes on the ground
+    plane appear both in the images (projected) and in the BEV class masks."""
+
+    def __init__(self, num_cams: int = 2, image_size=(32, 64), out_grid: int = 20,
+                 num_classes: int = 3, scope: float = 8.0, length: int = 128):
+        self.n = num_cams
+        self.image_size = image_size
+        self.out_grid = out_grid
+        self.k = num_classes
+        self.scope = scope
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def rig(self):
+        h, w = self.image_size
+        intr = np.zeros((self.n, 3, 3), np.float32)
+        intr[:, 0, 0] = intr[:, 1, 1] = w * 0.6
+        intr[:, 0, 2] = (w - 1) / 2.0
+        intr[:, 1, 2] = (h - 1) / 2.0
+        intr[:, 2, 2] = 1.0
+        rots = np.zeros((self.n, 3, 3), np.float32)
+        look = _look_at_ground()
+        for i in range(self.n):
+            ang = 2 * np.pi * i / self.n
+            c, s = np.cos(ang), np.sin(ang)
+            rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+            rots[i] = rz @ look
+        trans = np.zeros((self.n, 3), np.float32)
+        trans[:, 2] = 1.5  # camera height
+        eye = np.tile(np.eye(3, dtype=np.float32), (self.n, 1, 1))
+        zero = np.zeros((self.n, 3), np.float32)
+        return rots, trans, intr, eye, zero
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(idx)
+        h, w = self.image_size
+        rots, trans, intr, post_rots, post_trans = self.rig()
+        img = np.full((self.n, h, w, 3), 60.0, np.float32)
+        masks = np.zeros((self.out_grid, self.out_grid, self.k), np.float32)
+        cell = 2 * self.scope / self.out_grid
+
+        for _ in range(6):
+            cls = int(rng.integers(0, self.k))
+            px, py = rng.uniform(-self.scope * 0.8, self.scope * 0.8, 2)
+            rad = rng.uniform(0.5, 1.5)
+            # BEV mask: cells within rad of (px, py); grid row = x index
+            xs = (np.arange(self.out_grid) + 0.5) * cell - self.scope
+            dx = xs[:, None] - px
+            dy = xs[None, :] - py
+            masks[..., cls] = np.maximum(masks[..., cls],
+                                         (dx ** 2 + dy ** 2 < rad ** 2))
+            # paint into each camera where visible
+            color = np.zeros(3)
+            color[cls % 3] = 255.0
+            for ci in range(self.n):
+                pt_cam = rots[ci].T @ (np.array([px, py, 0.0]) - trans[ci])
+                if pt_cam[2] < 0.5:
+                    continue
+                uvw = intr[ci] @ pt_cam
+                u, v = uvw[0] / uvw[2], uvw[1] / uvw[2]
+                if 0 <= u < w and 0 <= v < h:
+                    ui, vi = int(u), int(v)
+                    r = max(1, int(rad * intr[ci, 0, 0] / pt_cam[2]))
+                    img[ci, max(0, vi - r):vi + r, max(0, ui - r):ui + r] = color
+        img += rng.normal(0, 2.0, img.shape)
+        return {
+            "image": img.astype(np.float32),
+            "cam2lidar_rots": rots,
+            "cam2lidar_trans": trans,
+            "intrins": intr,
+            "post_rots": post_rots,
+            "post_trans": post_trans,
+            "label": masks.astype(np.float32),
+        }
+
+
+class NuScenesBEVDataset:
+    """BEVFusion-preprocessed nuScenes: ``nuscenes_infos_{split}.pkl`` with
+    per-sample camera paths + calibration, and rasterized BEV map masks in
+    ``maps/{token}.npz`` (key 'masks', [K, 200, 200])."""
+
+    def __init__(self, data_root: str, split: str = "train",
+                 image_size=(256, 704)):
+        self.data_root = data_root
+        self.image_size = image_size
+        path = os.path.join(data_root, f"nuscenes_infos_{split}.pkl")
+        self.infos: List[dict] = []
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                data = pickle.load(f)
+            self.infos = data["infos"] if isinstance(data, dict) else data
+
+    def __len__(self):
+        return len(self.infos)
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        info = self.infos[idx]
+        h, w = self.image_size
+        imgs, rots, trans, intrs, prots, ptrans = [], [], [], [], [], []
+        for cam in info["cams"].values():
+            im = Image.open(os.path.join(self.data_root, cam["data_path"]))
+            w0, h0 = im.size
+            # BEVFusion eval aug: scale to cover, crop bottom-center
+            scale = max(w / w0, h / h0)
+            im = im.resize((int(w0 * scale), int(h0 * scale)), Image.BILINEAR)
+            left = (im.size[0] - w) // 2
+            top = im.size[1] - h
+            im = im.crop((left, top, left + w, top + h))
+            imgs.append(np.asarray(im, np.float32))
+            post_rot = np.eye(3, dtype=np.float32)
+            post_rot[0, 0] = post_rot[1, 1] = scale
+            post_trans = np.array([-left, -top, 0], np.float32)
+            prots.append(post_rot)
+            ptrans.append(post_trans)
+            rots.append(np.asarray(cam["sensor2lidar_rotation"], np.float32))
+            trans.append(np.asarray(cam["sensor2lidar_translation"], np.float32))
+            intrs.append(np.asarray(cam["camera_intrinsics"], np.float32))
+        token = info["token"]
+        mask_path = os.path.join(self.data_root, "maps_bev", f"{token}.npz")
+        if os.path.exists(mask_path):
+            masks = np.load(mask_path)["masks"].astype(np.float32)
+            masks = np.moveaxis(masks, 0, -1)  # [200, 200, K]
+        else:
+            masks = np.zeros((200, 200, 6), np.float32)
+        return {
+            "image": np.stack(imgs),
+            "cam2lidar_rots": np.stack(rots),
+            "cam2lidar_trans": np.stack(trans),
+            "intrins": np.stack(intrs),
+            "post_rots": np.stack(prots),
+            "post_trans": np.stack(ptrans),
+            "label": masks,
+        }
+
+
+def bev_batch_iterator(ds, batch_size: int, seed: int = 0,
+                       mean=(123.675, 116.28, 103.53),
+                       std=(58.395, 57.12, 57.375)):
+    """Batch iterator over BEV samples (normalizes images)."""
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    epoch, cursor = 0, 0
+    while True:
+        order = np.random.default_rng(seed + epoch).permutation(len(ds))
+        batch = {k: [] for k in BEV_BATCH_KEYS}
+        for i in range(batch_size):
+            s = ds.load(int(order[(cursor + i) % len(ds)]))
+            s["image"] = (s["image"] - mean) / std
+            for k in BEV_BATCH_KEYS:
+                batch[k].append(s[k])
+        yield {k: np.stack(v) for k, v in batch.items()}
+        cursor += batch_size
+        if cursor >= len(ds):
+            cursor, epoch = 0, epoch + 1

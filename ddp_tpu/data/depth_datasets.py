@@ -1,0 +1,143 @@
+"""Depth datasets: NYUv2, KITTI (Eigen split), and a synthetic generator.
+
+Parity targets (depth/depth/datasets/):
+  - nyu.py: depth PNGs scaled by 1000, eval on the Eigen center crop
+    [45:471, 41:601].
+  - kitti.py: depth scaled by 256, KB crop (352x1216 bottom-center,
+    kitti.py:227-235), garg eval crop (kitti.py:53-54,238+).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def nyu_eval_mask(shape: Tuple[int, int]) -> np.ndarray:
+    """Eigen crop used by the toolbox for NYU eval."""
+    m = np.zeros(shape, bool)
+    m[45:471, 41:601] = True
+    return m
+
+
+def garg_crop_mask(shape: Tuple[int, int]) -> np.ndarray:
+    """Garg crop (Adabins convention) for KITTI eval."""
+    h, w = shape
+    m = np.zeros(shape, bool)
+    m[int(0.40810811 * h):int(0.99189189 * h),
+      int(0.03594771 * w):int(0.96405229 * w)] = True
+    return m
+
+
+def kb_crop(img: np.ndarray, depth: Optional[np.ndarray] = None):
+    """KITTI benchmark crop: 352x1216 from the bottom, horizontally centered."""
+    h, w = img.shape[:2]
+    top = h - 352
+    left = (w - 1216) // 2
+    img = img[top:top + 352, left:left + 1216]
+    if depth is not None:
+        depth = depth[top:top + 352, left:left + 1216]
+    return img, depth
+
+
+class DepthDataset:
+    """File-list dataset for NYU ('<root>/{image,depth}/...') or KITTI
+    Eigen-split layouts, following the toolbox's split files when present."""
+
+    def __init__(self, data_root: str, split: str = "train", dataset: str = "nyu"):
+        self.dataset = dataset
+        self.data_root = data_root
+        self.split = split
+        self.depth_scale = 1000.0 if dataset == "nyu" else 256.0
+        self.items = self._index()
+
+    def _index(self) -> List[Tuple[str, str]]:
+        r = self.data_root
+        pairs = []
+        split_file = os.path.join(r, f"{self.dataset}_{self.split}.txt")
+        if os.path.exists(split_file):
+            for line in open(split_file):
+                parts = line.split()
+                if len(parts) >= 2 and parts[1] != "None":
+                    pairs.append((os.path.join(r, parts[0]), os.path.join(r, parts[1])))
+        return pairs
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        img_path, dep_path = self.items[idx]
+        img = np.asarray(Image.open(img_path).convert("RGB"), np.float32)
+        depth = np.asarray(Image.open(dep_path), np.float32) / self.depth_scale
+        if self.dataset == "kitti":
+            img, depth = kb_crop(img, depth)
+        return {"image": img, "label": depth.astype(np.float32)}
+
+
+class SyntheticDepthDataset:
+    """Procedural depth data: depth is a smooth closed-form function of image
+    content so a model can learn it."""
+
+    def __init__(self, size: Tuple[int, int] = (64, 64), length: int = 256,
+                 max_depth: float = 10.0):
+        self.size = size
+        self.length = length
+        self.max_depth = max_depth
+
+    def __len__(self):
+        return self.length
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(idx)
+        h, w = self.size
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        fx, fy = rng.uniform(0.5, 2.0, 2)
+        phase = rng.uniform(0, 2 * np.pi)
+        field = 0.5 + 0.4 * np.sin(2 * np.pi * fx * xx / w + phase) \
+            * np.cos(2 * np.pi * fy * yy / h)
+        depth = (0.1 + field * 0.9) * self.max_depth * 0.9
+        img = np.stack([field, np.roll(field, 3, 0), np.roll(field, 3, 1)],
+                       axis=-1).astype(np.float32) * 200.0 + 20.0
+        img += rng.normal(0, 2.0, img.shape)
+        return {"image": img.astype(np.float32), "label": depth.astype(np.float32)}
+
+
+def depth_batch_iterator(ds, batch_size: int, crop: Tuple[int, int], seed: int = 0,
+                         train: bool = True,
+                         mean=(123.675, 116.28, 103.53),
+                         std=(58.395, 57.12, 57.375)):
+    """Depth train iterator: random crop + flip + normalize (the toolbox's
+    NYU pipeline: RandomRotate/Crop/Flip/ColorAug — rotation omitted, noted
+    as a fidelity gap)."""
+    from .pipelines import normalize, pad_to, random_flip
+
+    def make_batch(epoch, start):
+        order = np.random.default_rng(seed + epoch).permutation(len(ds))
+        imgs, deps = [], []
+        for i in range(batch_size):
+            idx = int(order[(start + i) % len(ds)])
+            s = ds.load(idx)
+            rng = np.random.default_rng((seed, epoch, idx))
+            h, w = s["image"].shape[:2]
+            ch, cw = min(crop[0], h), min(crop[1], w)
+            if train:
+                y = rng.integers(0, h - ch + 1)
+                x = rng.integers(0, w - cw + 1)
+                s = {"image": s["image"][y:y + ch, x:x + cw],
+                     "label": s["label"][y:y + ch, x:x + cw]}
+                s = random_flip(s, rng)
+            s = normalize(s, mean, std)
+            s = pad_to(s, crop, seg_pad_val=0)
+            imgs.append(s["image"][: crop[0], : crop[1]])
+            deps.append(s["label"][: crop[0], : crop[1]])
+        return {"image": np.stack(imgs), "label": np.stack(deps)}
+
+    epoch, cursor = 0, 0
+    while True:
+        yield make_batch(epoch, cursor)
+        cursor += batch_size
+        if cursor >= len(ds):
+            cursor, epoch = 0, epoch + 1

@@ -49,6 +49,37 @@ class DeformableHeadWithTime(nn.Module):
         return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(q)
 
 
+class DeformableDepthHead(nn.Module):
+    """Depth variant of the time-FiLM deformable head: same encoder stack,
+    1-channel ``conv_depth`` output with relu + min_depth (scale_up=False,
+    use_eps=True — depth/depth/models/decode_heads/decode_head.py:258-270,
+    config depth/configs/ddp_nyu/ddp_swint...py:64-67)."""
+
+    embed_dims: int = 256
+    num_layers: int = 6
+    num_heads: int = 8
+    num_points: int = 4
+    ffn_dim: int = 1024
+    min_depth: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time: Optional[jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        spatial_shapes = ((h, w),)
+        pos = jnp.asarray(sine_pos_embed(h, w, num_feats=self.embed_dims // 2),
+                          dtype=x.dtype)
+        refs = jnp.asarray(reference_points(spatial_shapes), dtype=x.dtype)
+        q = x.reshape(b, h * w, c)
+        q = TimeFiLMEncoder(
+            self.num_layers, self.embed_dims, self.num_heads, 1, self.num_points,
+            self.ffn_dim, use_time=True, name="encoder",
+        )(q, time, pos, refs, spatial_shapes)
+        q = q.reshape(b, h, w, c)
+        depth = nn.Conv(1, (1, 1), name="conv_depth")(q)
+        return nn.relu(depth) + self.min_depth
+
+
 class FCNHead(nn.Module):
     """Auxiliary FCN head on clean encoder features (deep supervision only)."""
 

@@ -60,7 +60,15 @@ def train(
     model = build_model(cfg.model)
     rt = cfg.runtime
     if mesh is None:
-        mesh = make_mesh()
+        # largest device count that divides the global batch
+        ndev = len(jax.devices())
+        n_data = next(d for d in range(min(ndev, cfg.data.batch_size), 0, -1)
+                      if cfg.data.batch_size % d == 0)
+        mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
+    if cfg.model.task == "bev":
+        from ..data.bev_datasets import BEV_BATCH_KEYS as batch_keys
+    else:
+        batch_keys = ("image", "label")
 
     rng = jax.random.PRNGKey(rt.seed)
     init_rng, state_rng = jax.random.split(rng)
@@ -70,8 +78,7 @@ def train(
         variables = model.init(
             {"params": init_rng, "diffusion": jax.random.PRNGKey(1),
              "dropout": jax.random.PRNGKey(2)},
-            jax.numpy.asarray(batch0["image"][:1]),
-            jax.numpy.asarray(batch0["label"][:1]),
+            *[jax.numpy.asarray(batch0[k][:1]) for k in batch_keys],
             train=False,
         )
     else:
@@ -87,7 +94,7 @@ def train(
         start_step = int(state.step)
         print(f"resumed from step {start_step}", flush=True)
 
-    step_fn = make_train_step(model, tx, mesh=mesh)
+    step_fn = make_train_step(model, tx, mesh=mesh, batch_keys=tuple(batch_keys))
     logger = MetricLogger(rt.workdir, rt.log_interval)
     from .optim import make_lr_schedule
 

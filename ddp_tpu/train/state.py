@@ -44,9 +44,12 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh=None,
     donate: bool = True,
+    batch_keys: Tuple[str, ...] = ("image", "label"),
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted train step. ``model`` is a flax module whose __call__
-    returns (loss, logs) given (img, gt, train=True).
+    returns (loss, logs) given the batch values named by ``batch_keys``
+    (positional, in order) plus train=True — ("image", "label") for seg/depth,
+    the full camera-rig tuple for BEV.
 
     With a mesh: params/opt_state replicated, batch sharded along 'data'.
     The loss is a global batch mean, so grads are already the DP average —
@@ -65,8 +68,7 @@ def make_train_step(
                 variables["batch_stats"] = state.batch_stats
             (loss, logs), mutated = model.apply(
                 variables,
-                batch["image"],
-                batch["label"],
+                *[batch[k] for k in batch_keys],
                 train=True,
                 rngs={"diffusion": d_rng, "dropout": drop_rng},
                 mutable=["batch_stats"],

@@ -43,7 +43,16 @@ def main():
     cfg = get_config(args.preset, dict(kv.split("=", 1) for kv in args.set))
     model = build_model(cfg.model)
 
-    if cfg.data.dataset == "synthetic":
+    if cfg.model.task == "depth":
+        from ddp_tpu.data.depth_datasets import (DepthDataset,
+                                                 SyntheticDepthDataset)
+
+        if cfg.data.dataset == "synthetic":
+            ds = SyntheticDepthDataset(cfg.data.crop_size,
+                                       max_depth=cfg.model.max_depth)
+        else:
+            ds = DepthDataset(cfg.data.data_root, "test", cfg.data.dataset)
+    elif cfg.data.dataset == "synthetic":
         ds = SyntheticSegDataset(cfg.model.num_classes, cfg.data.crop_size)
     else:
         ds = SegDataset(cfg.data.data_root, "val", cfg.data.dataset)
@@ -79,8 +88,31 @@ def main():
                                    cfg.runtime.test_crop, cfg.runtime.test_stride)
         return fn(img)
 
-    acc = SegMetricAccumulator(cfg.model.num_classes)
     rng = jax.random.PRNGKey(args.seed)
+    if cfg.model.task == "depth":
+        from ddp_tpu.data.depth_datasets import garg_crop_mask, nyu_eval_mask
+        from ddp_tpu.evaluation.metrics import depth_metrics
+
+        preds, gts, masks = [], [], []
+        for i in range(n):
+            s = ds.load(i)
+            s = normalize(s, cfg.data.mean, cfg.data.std)
+            d = predict(variables, jnp.asarray(s["image"][None]),
+                        jax.random.fold_in(rng, i))
+            preds.append(np.asarray(d[0]))
+            gts.append(s["label"])
+            shp = s["label"].shape
+            if cfg.data.dataset == "nyu":
+                masks.append(nyu_eval_mask(shp))
+            elif cfg.data.dataset == "kitti":
+                masks.append(garg_crop_mask(shp))
+            else:
+                masks.append(np.ones(shp, bool))
+        m = depth_metrics(np.stack(preds), np.stack(gts), np.stack(masks))
+        print(" | ".join(f"{k} {v:.4f}" for k, v in m.items()) + f"  (n={n})")
+        return
+
+    acc = SegMetricAccumulator(cfg.model.num_classes)
     for i in range(n):
         s = ds.load(i)
         s = normalize(s, cfg.data.mean, cfg.data.std)
