@@ -19,7 +19,7 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: CPU compiles on this box are slow and dominate
 # test wall-clock; cache them across pytest runs
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
