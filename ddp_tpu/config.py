@@ -45,6 +45,13 @@ class ModelConfig:
     bev_dbound: Tuple[float, float, float] = (1.0, 60.0, 0.5)
     bev_lss_channels: int = 80
     bev_blocks: Tuple = ((2, 160, 2), (2, 320, 2), (2, 640, 1))
+    # lidar branch (fusion)
+    bev_lidar_channels: int = 128
+    bev_lidar_dense_hw: int = 128
+    bev_lidar_dense_z: int = 2
+    bev_sparse_shape: Tuple[int, int, int] = (1024, 1024, 41)
+    bev_voxel_caps: Tuple = (120_000, 60_000, 30_000, 15_000, 15_000)
+    bev_voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.2)
 
 
 @dataclass(frozen=True)
@@ -256,6 +263,44 @@ PRESETS["smoke"] = lambda: Config(
 )
 
 
+# Fusion: camera + lidar (bev/configs/nuscenes/seg/ddp-fusion-bev256d2-...)
+PRESETS["nuscenes_fusion"] = lambda: Config(
+    name="nuscenes_fusion",
+    model=ModelConfig(task="bev_fusion", backbone_type="swin",
+                      backbone_variant="tiny", num_classes=6, bit_scale=0.01,
+                      decoder_layers=5,
+                      diffusion=DiffusionConfig(timesteps=3, randsteps=5)),
+    data=DataConfig(dataset="nuscenes", batch_size=8,
+                    data_root=_DATA_ROOTS["nuscenes"], crop_size=(256, 704)),
+    optim=OptimConfig(lr=5e-5, grad_clip=35.0, total_steps=42_000,
+                      schedule="cosine", warmup_steps=1000),
+    runtime=RuntimeConfig(total_iters=42_000, ckpt_interval=2000,
+                          eval_interval=2000),
+)
+
+PRESETS["smoke_fusion"] = lambda: Config(
+    name="smoke_fusion",
+    model=ModelConfig(task="bev_fusion", backbone_type="swin",
+                      backbone_variant="nano", num_classes=3, embed_dims=32,
+                      decoder_layers=1, decoder_heads=4, decoder_ffn_dim=64,
+                      drop_path_rate=0.0,
+                      diffusion=DiffusionConfig(timesteps=2, randsteps=1),
+                      bev_image_size=(32, 64), bev_out_grid=20,
+                      bev_input_scope=((-8.0, 8.0, 1.0), (-8.0, 8.0, 1.0)),
+                      bev_output_scope=((-8.0, 8.0, 0.8), (-8.0, 8.0, 0.8)),
+                      bev_xbound=(-8.0, 8.0, 0.5), bev_ybound=(-8.0, 8.0, 0.5),
+                      bev_dbound=(1.0, 9.0, 1.0), bev_lss_channels=16,
+                      bev_blocks=((1, 24, 2), (1, 32, 1)),
+                      bev_lidar_channels=24, bev_lidar_dense_hw=16,
+                      bev_lidar_dense_z=2, bev_sparse_shape=(128, 128, 41),
+                      bev_voxel_caps=(512, 256, 128, 96, 96),
+                      bev_voxel_size=(0.125, 0.125, 0.2)),
+    data=DataConfig(dataset="synthetic", batch_size=4, crop_size=(32, 64)),
+    optim=OptimConfig(lr=1e-3, total_steps=40, warmup_steps=5, grad_clip=5.0),
+    runtime=RuntimeConfig(total_iters=40, log_interval=10, ckpt_interval=40,
+                          eval_interval=1000, workdir="work_dirs/smoke_fusion"),
+)
+
 PRESETS["smoke_bev"] = lambda: Config(
     name="smoke_bev",
     model=ModelConfig(task="bev", backbone_type="swin", backbone_variant="nano",
@@ -326,6 +371,33 @@ def build_model(mc: ModelConfig):
             dbound=mc.bev_dbound,
             lss_out_channels=mc.bev_lss_channels,
             bev_blocks=mc.bev_blocks,
+        )
+    if mc.task == "bev_fusion":
+        from .models.bev_fusion import DDPBEVFusion
+
+        return DDPBEVFusion(
+            num_classes=mc.num_classes,
+            embed_dims=mc.embed_dims,
+            bit_scale=mc.bit_scale,
+            diffusion=mc.diffusion,
+            backbone_variant=mc.backbone_variant,
+            decoder_layers=mc.decoder_layers,
+            decoder_heads=mc.decoder_heads,
+            decoder_ffn_dim=mc.decoder_ffn_dim,
+            drop_path_rate=mc.drop_path_rate,
+            image_size=mc.bev_image_size,
+            out_grid=mc.bev_out_grid,
+            input_scope=mc.bev_input_scope,
+            output_scope=mc.bev_output_scope,
+            xbound=mc.bev_xbound,
+            ybound=mc.bev_ybound,
+            zbound=mc.bev_zbound,
+            dbound=mc.bev_dbound,
+            lss_out_channels=mc.bev_lss_channels,
+            bev_blocks=mc.bev_blocks,
+            lidar_channels=mc.bev_lidar_channels,
+            lidar_dense_hw=mc.bev_lidar_dense_hw,
+            lidar_dense_z=mc.bev_lidar_dense_z,
         )
     if mc.task == "depth":
         from .models.depther import DDPDepther

@@ -170,6 +170,82 @@ class NuScenesBEVDataset:
         }
 
 
+FUSION_BATCH_KEYS = BEV_BATCH_KEYS[:-1] + ("voxel_feats", "rulebooks", "label")
+
+
+class SyntheticFusionDataset(SyntheticBEVDataset):
+    """SyntheticBEVDataset plus a lidar point cloud: points sampled on the
+    same objects that appear in the images and BEV masks, voxelized and
+    rulebook-built host-side (C++ native ops)."""
+
+    def __init__(self, sparse_shape=(128, 128, 41), caps=(512, 256, 128, 96, 96),
+                 voxel_size=(0.125, 0.125, 0.2), z_range=(-5.0, 3.2), **kw):
+        super().__init__(**kw)
+        self.sparse_shape = sparse_shape
+        self.caps = tuple(caps)
+        self.voxel_size = voxel_size
+        self.pc_range = (-self.scope, -self.scope, z_range[0],
+                         self.scope, self.scope, z_range[1])
+
+    def load(self, idx: int):
+        from .. import native
+        from ..nn.sparse_conv import (build_sparse_encoder_rulebooks,
+                                      mean_voxel_features)
+
+        s = super().load(idx)
+        rng = np.random.default_rng(idx + 10_000)
+        n_pts = 800
+        pts = np.zeros((n_pts, 5), np.float32)
+        pts[:, 0] = rng.uniform(-self.scope, self.scope, n_pts)
+        pts[:, 1] = rng.uniform(-self.scope, self.scope, n_pts)
+        pts[:, 2] = rng.uniform(self.pc_range[2], self.pc_range[5], n_pts)
+        # give points on mask objects a distinctive intensity per class
+        cell = 2 * self.scope / self.out_grid
+        gx = np.clip(((pts[:, 0] + self.scope) / cell).astype(int), 0,
+                     self.out_grid - 1)
+        gy = np.clip(((pts[:, 1] + self.scope) / cell).astype(int), 0,
+                     self.out_grid - 1)
+        cls = s["label"][gx, gy].argmax(-1)
+        hit = s["label"][gx, gy].max(-1) > 0
+        pts[:, 3] = np.where(hit, (cls + 1) / self.k, 0.05)
+        voxels, coords, counts, nv = native.hard_voxelize(
+            pts, self.pc_range, self.voxel_size, max_points=4,
+            max_voxels=self.caps[0])
+        s["voxel_feats"] = mean_voxel_features(voxels, counts)
+        s["rulebooks"] = build_sparse_encoder_rulebooks(
+            coords, nv, self.sparse_shape, self.caps)
+        return s
+
+
+def fusion_batch_iterator(ds, batch_size: int, seed: int = 0,
+                          mean=(123.675, 116.28, 103.53),
+                          std=(58.395, 57.12, 57.375)):
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    epoch, cursor = 0, 0
+    while True:
+        order = np.random.default_rng(seed + epoch).permutation(len(ds))
+        batch = {k: [] for k in FUSION_BATCH_KEYS}
+        rb_accum = None
+        for i in range(batch_size):
+            s = ds.load(int(order[(cursor + i) % len(ds)]))
+            s["image"] = (s["image"] - mean) / std
+            for k in FUSION_BATCH_KEYS:
+                if k == "rulebooks":
+                    if rb_accum is None:
+                        rb_accum = {kk: [] for kk in s["rulebooks"]}
+                    for kk, v in s["rulebooks"].items():
+                        rb_accum[kk].append(v)
+                else:
+                    batch[k].append(s[k])
+        out = {k: np.stack(v) for k, v in batch.items() if k != "rulebooks"}
+        out["rulebooks"] = {kk: np.stack(v) for kk, v in rb_accum.items()}
+        yield out
+        cursor += batch_size
+        if cursor >= len(ds):
+            cursor, epoch = 0, epoch + 1
+
+
 def bev_batch_iterator(ds, batch_size: int, seed: int = 0,
                        mean=(123.675, 116.28, 103.53),
                        std=(58.395, 57.12, 57.375)):

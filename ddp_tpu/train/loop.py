@@ -67,6 +67,8 @@ def train(
         mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
     if cfg.model.task == "bev":
         from ..data.bev_datasets import BEV_BATCH_KEYS as batch_keys
+    elif cfg.model.task == "bev_fusion":
+        from ..data.bev_datasets import FUSION_BATCH_KEYS as batch_keys
     else:
         batch_keys = ("image", "label")
 
@@ -78,7 +80,8 @@ def train(
         variables = model.init(
             {"params": init_rng, "diffusion": jax.random.PRNGKey(1),
              "dropout": jax.random.PRNGKey(2)},
-            *[jax.numpy.asarray(batch0[k][:1]) for k in batch_keys],
+            *[jax.tree_util.tree_map(lambda a: jax.numpy.asarray(a[:1]),
+                                     batch0[k]) for k in batch_keys],
             train=False,
         )
     else:

@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--only", default=None,
+                    choices=["backbone", "denoise", "msda", "full"],
+                    help="benchmark a single component (remote compiles are "
+                         "slow; one program per invocation)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -77,25 +81,30 @@ def main():
 
     results = {}
 
-    # 1. backbone+neck only
-    def backbone_fn(v, im, i):
-        return model.apply(v, im, train=False, method=model.extract_feat)
+    def want(name):
+        return args.only is None or args.only == name
 
-    t = delta_time(backbone_fn, variables, img)
-    results["backbone_ms"] = t * 1e3
+    # 1. backbone+neck only
+    if want("backbone"):
+        def backbone_fn(v, im, i):
+            return model.apply(v, im, train=False, method=model.extract_feat)
+
+        t = delta_time(backbone_fn, variables, img)
+        results["backbone_ms"] = t * 1e3
 
     # 2. one full denoise (fuse + time mlp + 6-layer decoder + conv_seg)
     feat_hw = hw // 4
     x = jnp.zeros((b, feat_hw, feat_hw, 256), dtype)
     mask = jnp.zeros((b, feat_hw, feat_hw, 256), dtype)
 
-    def denoise_fn(v, x, mask, i):
-        log_snr = jnp.zeros((b,), dtype)
-        return model.apply(v, x, mask, log_snr, train=False,
-                           method=model.denoise_logits)
+    if want("denoise"):
+        def denoise_fn(v, x, mask, i):
+            log_snr = jnp.zeros((b,), dtype)
+            return model.apply(v, x, mask, log_snr, train=False,
+                               method=model.denoise_logits)
 
-    t = delta_time(denoise_fn, variables, x, mask)
-    results["denoise_once_ms"] = t * 1e3
+        t = delta_time(denoise_fn, variables, x, mask)
+        results["denoise_once_ms"] = t * 1e3
 
     # 3. raw deform-attn op at decoder shapes (S = (hw/4)^2 tokens)
     s = feat_hw * feat_hw
@@ -103,21 +112,23 @@ def main():
     loc = jnp.full((b, s, 8, 1, 4, 2), 0.5, dtype)
     wts = jnp.full((b, s, 8, 1, 4), 0.25, dtype)
 
-    def msda_fn(v, l, w, i):
-        return ms_deform_attn(v, ((feat_hw, feat_hw),), l, w)
+    if want("msda"):
+        def msda_fn(v, l, w, i):
+            return ms_deform_attn(v, ((feat_hw, feat_hw),), l, w)
 
-    t = delta_time(msda_fn, val, loc, wts)
-    results["msda_op_ms"] = t * 1e3
+        t = delta_time(msda_fn, val, loc, wts)
+        results["msda_op_ms"] = t * 1e3
 
     # 4. full 3-step rollout (the bench.py headline)
-    def full_fn(v, im, i):
-        return model.apply(v, im, method=model.sample,
-                           rngs={"diffusion": jax.random.fold_in(
-                               jax.random.PRNGKey(7), i)})
+    if want("full"):
+        def full_fn(v, im, i):
+            return model.apply(v, im, method=model.sample,
+                               rngs={"diffusion": jax.random.fold_in(
+                                   jax.random.PRNGKey(7), i)})
 
-    t = delta_time(full_fn, variables, img)
-    results["full_rollout_ms"] = t * 1e3
-    results["img_per_s"] = b / t
+        t = delta_time(full_fn, variables, img)
+        results["full_rollout_ms"] = t * 1e3
+        results["img_per_s"] = b / t
     results["dtype"] = "bf16" if args.bf16 else "f32"
     results["batch"] = b
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)

@@ -53,7 +53,26 @@ def main():
 
     from ddp_tpu.train.loop import train
 
-    if cfg.model.task == "bev":
+    if cfg.model.task == "bev_fusion":
+        from ddp_tpu.data.bev_datasets import (SyntheticFusionDataset,
+                                               fusion_batch_iterator)
+
+        if cfg.data.dataset != "synthetic":
+            raise NotImplementedError(
+                "nuScenes fusion loading needs the lidar sweep files; "
+                "preprocess with tools/prepare_nuscenes.py (synthetic works)")
+        ds = SyntheticFusionDataset(
+            sparse_shape=cfg.model.bev_sparse_shape,
+            caps=cfg.model.bev_voxel_caps,
+            voxel_size=cfg.model.bev_voxel_size,
+            image_size=cfg.model.bev_image_size,
+            out_grid=cfg.model.bev_out_grid,
+            num_classes=cfg.model.num_classes,
+            scope=cfg.model.bev_xbound[1])
+        it = fusion_batch_iterator(ds, cfg.data.batch_size,
+                                   seed=cfg.runtime.seed, mean=cfg.data.mean,
+                                   std=cfg.data.std)
+    elif cfg.model.task == "bev":
         from ddp_tpu.data.bev_datasets import (NuScenesBEVDataset,
                                                SyntheticBEVDataset,
                                                bev_batch_iterator)
