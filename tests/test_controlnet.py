@@ -1,0 +1,152 @@
+"""ControlNet / latent-diffusion stack tests (tiny configs, CPU).
+
+Covers the reference surface from SURVEY.md §2 (ControlNet rows): UNet
+forward, ControlNet zero-init behavior, ControlLDM loss + DDIM CFG sampling,
+VAE roundtrip shapes, CLIP text encoder, DDPM schedule constants, EMA decay,
+and add_control weight surgery.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddp_tpu.models.controlnet import (ControlLDM, DDPMSchedule,
+                                       add_control_from_sd,
+                                       make_ddim_timesteps)
+from ddp_tpu.nn.autoencoder import AutoencoderKL
+from ddp_tpu.nn.clip_text import CLIPTextEncoder, dummy_ids
+from ddp_tpu.nn.unet import ControlNet, UNetConfig, UNetModel
+
+TINY = UNetConfig(in_channels=4, model_channels=32, out_channels=4,
+                  num_res_blocks=1, attention_resolutions=(2,),
+                  channel_mult=(1, 2), num_heads=2, context_dim=16)
+
+
+def test_unet_forward_shape(rng):
+    model = UNetModel(TINY)
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.array([3.0, 100.0])
+    ctx = jnp.zeros((2, 7, 16))
+    params = model.init(rng, x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    assert out.shape == (2, 16, 16, 4)
+
+
+def test_ddpm_schedule_matches_reference_formula():
+    """betas = linspace(sqrt(85e-5), sqrt(12e-3), 1000)^2 (ddpm.py:46+)."""
+    s = DDPMSchedule()
+    betas = np.linspace(0.00085 ** 0.5, 0.012 ** 0.5, 1000) ** 2
+    np.testing.assert_allclose(s.alphas_cumprod,
+                               np.cumprod(1 - betas).astype(np.float32),
+                               rtol=1e-6)
+    # q_sample at t=0 is nearly clean; at t=999 nearly pure noise
+    assert s.sqrt_alphas_cumprod[0] > 0.999
+    assert s.sqrt_alphas_cumprod[-1] < 0.1
+
+
+def test_ddim_timestep_grid():
+    ts = make_ddim_timesteps(20, 1000)
+    assert len(ts) == 20 and ts[0] == 1 and ts[-1] == 951
+
+
+def test_controlnet_zero_init_residuals(rng):
+    """Fresh ControlNet outputs exactly zero (zero convs, cldm.py:281-282),
+    so an untrained ControlNet must not change the UNet prediction."""
+    cn = ControlNet(TINY, hint_channels=3)
+    x = jnp.ones((1, 16, 16, 4))
+    hint = jnp.ones((1, 128, 128, 3))
+    t = jnp.array([10.0])
+    ctx = jnp.ones((1, 7, 16))
+    params = cn.init(rng, x, hint, t, ctx)
+    outs = cn.apply(params, x, hint, t, ctx)
+    n_levels = len(TINY.channel_mult)
+    n_skips = 1 + n_levels * TINY.num_res_blocks + (n_levels - 1)
+    assert len(outs) == n_skips + 1  # skips + middle (13 for SD 1.5)
+    for o in outs:
+        assert float(jnp.abs(o).max()) == 0.0
+
+
+def test_vae_roundtrip_shapes(rng):
+    vae = AutoencoderKL(embed_dim=4, ch=16, ch_mult=(1, 2), num_res_blocks=1)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = vae.init(rng, x, rng)
+    recon, mean, logvar = vae.apply(params, x, rng)
+    assert recon.shape == x.shape
+    assert mean.shape == (1, 16, 16, 4)
+
+
+def test_clip_text_encoder(rng):
+    enc = CLIPTextEncoder(vocab_size=100, width=32, layers=2, heads=2,
+                          max_len=8)
+    ids = jnp.zeros((2, 8), jnp.int32)
+    params = enc.init(rng, ids)
+    out = enc.apply(params, ids)
+    assert out.shape == (2, 8, 32)
+
+
+def test_clip_causal_mask(rng):
+    """Changing a later token must not affect earlier positions."""
+    enc = CLIPTextEncoder(vocab_size=100, width=32, layers=2, heads=2,
+                          max_len=8)
+    ids = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32) % 100
+    params = enc.init(rng, ids)
+    out1 = enc.apply(params, ids)
+    ids2 = ids.at[0, 6].set(55)
+    out2 = enc.apply(params, ids2)
+    np.testing.assert_allclose(out1[0, :6], out2[0, :6], atol=1e-5)
+    assert float(jnp.abs(out1[0, 6:] - out2[0, 6:]).max()) > 1e-6
+
+
+@pytest.fixture(scope="module")
+def tiny_ldm():
+    model = ControlLDM(unet=TINY, clip_width=16, clip_layers=1)
+    img = jnp.zeros((1, 64, 64, 3))
+    hint = jnp.zeros((1, 64, 64, 3))
+    ids = jnp.asarray(dummy_ids(1, 8))
+    params = model.init(jax.random.PRNGKey(0), jax.random.PRNGKey(1), img,
+                        hint, ids)
+    return model, params, img, hint, ids
+
+
+def test_controlldm_loss(tiny_ldm):
+    model, params, img, hint, ids = tiny_ldm
+    losses = model.apply(params, jax.random.PRNGKey(2), img, hint, ids)
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_controlldm_ddim_cfg_sample(tiny_ldm):
+    model, params, img, hint, ids = tiny_ldm
+    out = model.apply(params, jax.random.PRNGKey(3), hint, ids, ids,
+                      method=model.sample, steps=3, guidance_scale=2.0)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_add_control_weight_surgery(rng):
+    unet = UNetModel(TINY)
+    cn = ControlNet(TINY, hint_channels=3)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.array([0.0])
+    ctx = jnp.zeros((1, 7, 16))
+    hint = jnp.zeros((1, 128, 128, 3))
+    up = unet.init(rng, x, t, ctx)["params"]
+    cp = cn.init(jax.random.PRNGKey(9), x, hint, t, ctx)["params"]
+    merged = add_control_from_sd(up, cp)
+    got = jax.tree_util.tree_leaves(merged["encoder"])
+    want = jax.tree_util.tree_leaves(up["encoder"])
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # zero convs untouched (still zero)
+    assert float(jnp.abs(merged["middle_out"]["kernel"]).max()) == 0.0
+
+
+def test_ema_update():
+    from ddp_tpu.train.ema import ema_init, ema_update
+
+    params = {"w": jnp.ones((4,))}
+    state = ema_init(params)
+    new_params = {"w": jnp.zeros((4,))}
+    state = ema_update(state, new_params, decay=0.9999)
+    # warmup: d = min(0.9999, 2/11)
+    np.testing.assert_allclose(np.asarray(state[0]["w"]),
+                               np.full((4,), 2.0 / 11.0), rtol=1e-6)
