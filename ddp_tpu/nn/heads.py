@@ -97,3 +97,127 @@ class FCNHead(nn.Module):
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=not train)
         return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(x)
+
+
+class ConvWithTime(nn.Module):
+    """conv → norm → FiLM(time) → act — the reference's ConvWithTimeModule
+    (fcn_head_with_time.py:18-226): when a time vector is given, a
+    SiLU→Linear(T→2C) MLP produces (scale, shift) applied BEFORE the
+    activation as x·(scale+1)+shift."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    dilation: int = 1
+    norm: Optional[str] = "SyncBN"
+    time_in: int = 1024
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        from .common import make_norm
+
+        x = nn.Conv(self.features, self.kernel_size,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    padding="SAME", use_bias=self.norm is None, name="conv")(x)
+        norm = make_norm(self.norm, train)
+        if norm is not None:
+            x = norm(x)
+        if time is not None:
+            t = nn.Dense(self.features * 2, name="time_mlp")(nn.silu(time))
+            scale, shift = jnp.split(t[:, None, None, :], 2, axis=-1)
+            x = x * (scale + 1.0) + shift
+        return nn.relu(x)
+
+
+class FCNHeadWithTime(nn.Module):
+    """FCN denoising head with per-conv FiLM time conditioning — the
+    reference's lightweight alternative to the deformable head
+    (fcn_head_with_time.py:229-342: num_convs ConvWithTimeModule stack,
+    optional concat_input conv_cat, then 1x1 conv_seg)."""
+
+    num_classes: int
+    channels: int = 256
+    num_convs: int = 2
+    kernel_size: int = 3
+    dilation: int = 1
+    concat_input: bool = True
+    dropout: float = 0.1
+    norm: Optional[str] = "SyncBN"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time: Optional[jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
+        inputs = x
+        for i in range(self.num_convs):
+            x = ConvWithTime(self.channels, (self.kernel_size,) * 2,
+                             dilation=self.dilation, norm=self.norm,
+                             name=f"conv{i}")(x, time=time, train=train)
+        if self.concat_input:
+            x = ConvModule(self.channels, (self.kernel_size,) * 2,
+                           norm=self.norm, act="relu", name="conv_cat")(
+                jnp.concatenate([inputs, x], axis=-1), train=train)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(x)
+
+
+class NNHead(nn.Module):
+    """FCN stack WITHOUT a classifier (num_classes := channels) — the
+    reference's NNHead (nn_head.py:11-96), used as a feature-space refiner."""
+
+    channels: int = 256
+    num_convs: int = 2
+    kernel_size: int = 3
+    dilation: int = 1
+    concat_input: bool = True
+    norm: Optional[str] = "SyncBN"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        inputs = x
+        for i in range(self.num_convs):
+            x = ConvModule(self.channels, (self.kernel_size,) * 2,
+                           norm=self.norm, act="relu", name=f"conv{i}")(
+                x, train=train)
+        if self.concat_input:
+            x = ConvModule(self.channels, (self.kernel_size,) * 2,
+                           norm=self.norm, act="relu", name="conv_cat")(
+                jnp.concatenate([inputs, x], axis=-1), train=train)
+        return x
+
+
+class IdentityHead(nn.Module):
+    """Pass-through head (identity conv_seg) — identity_head.py:8-16. Used by
+    configs that take the decoder features as the output directly."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return x
+
+
+class DeformableHead(nn.Module):
+    """Deformable-attention head WITHOUT time conditioning — the reference's
+    deformable_head.py:21-130 (same encoder, FiLM disabled). Used for
+    non-diffusion ablations."""
+
+    num_classes: int
+    embed_dims: int = 256
+    num_layers: int = 6
+    num_heads: int = 8
+    num_points: int = 4
+    ffn_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        spatial_shapes = ((h, w),)
+        pos = jnp.asarray(sine_pos_embed(h, w, num_feats=self.embed_dims // 2),
+                          dtype=x.dtype)
+        refs = jnp.asarray(reference_points(spatial_shapes), dtype=x.dtype)
+        q = x.reshape(b, h * w, c)
+        q = TimeFiLMEncoder(
+            self.num_layers, self.embed_dims, self.num_heads, 1, self.num_points,
+            self.ffn_dim, use_time=False, name="encoder",
+        )(q, None, pos, refs, spatial_shapes)
+        q = q.reshape(b, h, w, c)
+        return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(q)

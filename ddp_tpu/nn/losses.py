@@ -79,3 +79,201 @@ def sig_loss(
     g = jnp.where(valid_mask, g, 0.0)
     dg = (g ** 2).sum() / n - lam * (g.sum() / n) ** 2
     return jnp.sqrt(jnp.maximum(dg, 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# Region losses (mmseg dice/tversky/lovasz family), TPU-first: every op is
+# static-shape — the reference's dynamic ignore-index filtering (boolean
+# indexing) is replaced by masking / sort-to-back tricks.
+# ---------------------------------------------------------------------------
+
+
+def _one_hot_valid(labels: jnp.ndarray, num_classes: int, ignore_index: int):
+    """(one_hot [.., K], valid [..]) with ignored pixels all-zero."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    oh = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32)
+    return oh * valid[..., None], valid
+
+
+def dice_loss(
+    logits: jnp.ndarray,  # [B, H, W, K]
+    labels: jnp.ndarray,  # [B, H, W]
+    smooth: float = 1.0,
+    exponent: float = 2.0,
+    class_weight: Optional[jnp.ndarray] = None,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Multi-class dice (mmseg DiceLoss semantics: softmax probs, per-class
+    binary dice over flattened pixels, mean over classes then batch —
+    segmentation/mmseg/models/losses/dice_loss.py:13-47)."""
+    k = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    oh, valid = _one_hot_valid(labels, k, ignore_index)
+    p = probs.reshape(probs.shape[0], -1, k)
+    t = oh.reshape(oh.shape[0], -1, k)
+    m = valid.reshape(valid.shape[0], -1, 1).astype(p.dtype)
+    num = 2.0 * jnp.sum(p * t * m, axis=1) + smooth  # [B, K]
+    den = jnp.sum(p**exponent + t**exponent, axis=1) + smooth
+    per_class = 1.0 - num / den  # [B, K]
+    if class_weight is not None:
+        per_class = per_class * class_weight[None, :]
+    return per_class.mean()
+
+
+def tversky_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    alpha: float = 0.3,
+    beta: float = 0.7,
+    smooth: float = 1.0,
+    class_weight: Optional[jnp.ndarray] = None,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Tversky loss (mmseg tversky_loss.py:14-58): generalizes dice with
+    separate FP (alpha) / FN (beta) weights."""
+    k = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    oh, valid = _one_hot_valid(labels, k, ignore_index)
+    p = probs.reshape(probs.shape[0], -1, k)
+    t = oh.reshape(oh.shape[0], -1, k)
+    m = valid.reshape(valid.shape[0], -1, 1).astype(p.dtype)
+    tp = jnp.sum(p * t * m, axis=1)
+    fp = jnp.sum(p * (1.0 - t) * m, axis=1)
+    fn = jnp.sum((1.0 - p) * t * m, axis=1)
+    per_class = 1.0 - (tp + smooth) / (tp + alpha * fp + beta * fn + smooth)
+    if class_weight is not None:
+        per_class = per_class * class_weight[None, :]
+    return per_class.mean()
+
+
+def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of the Lovasz extension w.r.t. sorted errors
+    (lovasz_loss.py:15-27)."""
+    gts = gt_sorted.sum()
+    intersection = gts - jnp.cumsum(gt_sorted, axis=0)
+    union = gts + jnp.cumsum(1.0 - gt_sorted, axis=0)
+    jaccard = 1.0 - intersection / jnp.maximum(union, 1e-12)
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+
+
+def lovasz_softmax(
+    logits: jnp.ndarray,  # [B, H, W, K]
+    labels: jnp.ndarray,  # [B, H, W]
+    classes: str = "present",
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Multi-class Lovasz-Softmax (mmseg lovasz_loss.py:129-224,
+    per_image=False default). TPU-first: instead of dynamically dropping
+    ignored pixels, their errors are forced to 0 so they sort to the back and
+    contribute 0 to the dot product (ties at error=0 are measure-zero)."""
+    k = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1).reshape(-1, k)
+    flat = labels.reshape(-1)
+    valid = flat != ignore_index
+    safe = jnp.where(valid, flat, 0)
+
+    def per_class(c):
+        fg = ((safe == c) & valid).astype(probs.dtype)
+        err = jnp.abs(fg - probs[:, c])
+        err = jnp.where(valid, err, 0.0)
+        err_sorted, fg_sorted = jax.lax.sort_key_val(-err, fg)
+        grad = _lovasz_grad(fg_sorted)
+        loss_c = jnp.dot(-err_sorted, grad)
+        present = fg.sum() > 0
+        return loss_c, present
+
+    losses, presents = jax.vmap(per_class)(jnp.arange(k))
+    if classes == "present":
+        w = presents.astype(losses.dtype)
+        return (losses * w).sum() / jnp.maximum(w.sum(), 1.0)
+    return losses.mean()
+
+
+def lovasz_hinge(
+    logits: jnp.ndarray,  # [B, H, W] binary logits
+    labels: jnp.ndarray,  # [B, H, W] in {0, 1}
+    ignore_index: int = 255,
+    per_image: bool = True,
+) -> jnp.ndarray:
+    """Binary Lovasz hinge (lovasz_loss.py:60-126; per_image=True default)."""
+
+    def one(logit, label):
+        flat = logit.reshape(-1)
+        lab = label.reshape(-1)
+        valid = lab != ignore_index
+        signs = 2.0 * lab.astype(flat.dtype) - 1.0
+        err = 1.0 - flat * signs
+        err = jnp.where(valid, err, -1e9)
+        err_sorted, lab_sorted = jax.lax.sort_key_val(-err, lab.astype(flat.dtype))
+        lab_sorted = jnp.where(-err_sorted > -1e8, lab_sorted, 0.0)
+        grad = _lovasz_grad(lab_sorted)
+        return jnp.dot(jax.nn.relu(-err_sorted), grad)
+
+    if per_image:
+        return jax.vmap(one)(logits, labels).mean()
+    return one(logits, labels)
+
+
+def focal_seg_loss(
+    logits: jnp.ndarray,  # [B, H, W, K]
+    labels: jnp.ndarray,  # [B, H, W]
+    gamma: float = 2.0,
+    alpha: float = 0.5,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """mmseg FocalLoss (sigmoid variant, one-hot targets over K classes,
+    mean over valid pixels — mmseg/models/losses/focal_loss.py)."""
+    k = logits.shape[-1]
+    oh, valid = _one_hot_valid(labels, k, ignore_index)
+    per_el = sigmoid_focal_loss(logits, oh, alpha=alpha, gamma=gamma)
+    per_el = per_el * valid[..., None]
+    return per_el.sum() / jnp.maximum(valid.sum() * 1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Depth losses beyond SigLoss (depth/depth/models/losses/)
+# ---------------------------------------------------------------------------
+
+
+def bins_chamfer_loss(
+    bin_edges: jnp.ndarray,  # [B, N+1] adabins bin edges
+    gt_depth: jnp.ndarray,  # [B, H, W] (<=1e-3 invalid)
+    min_valid: float = 1e-3,
+) -> jnp.ndarray:
+    """Bidirectional chamfer between bin centers and valid GT depth values
+    (depth/depth/models/losses/chamferloss.py:27-39, AdaBins). TPU-first:
+    the reference pads a ragged list of valid pixels; here invalid pixels are
+    masked out of both directions with static shapes."""
+    centers = 0.5 * (bin_edges[:, 1:] + bin_edges[:, :-1])  # [B, N]
+    target = gt_depth.reshape(gt_depth.shape[0], -1)  # [B, M]
+    mask = target > min_valid
+    # pairwise |c - t|^2: [B, N, M]
+    d2 = (centers[:, :, None] - target[:, None, :]) ** 2
+    big = jnp.asarray(1e12, d2.dtype)
+    d2_masked = jnp.where(mask[:, None, :], d2, big)
+    # bins -> nearest valid gt
+    loss_x = jnp.min(d2_masked, axis=2).mean(axis=1)  # [B]
+    # valid gt -> nearest bin
+    near_t = jnp.min(d2, axis=1)  # [B, M]
+    denom = jnp.maximum(mask.sum(axis=1), 1)
+    loss_y = jnp.where(mask, near_t, 0.0).sum(axis=1) / denom
+    has_valid = (mask.sum(axis=1) > 0).astype(loss_x.dtype)
+    return ((loss_x + loss_y) * has_valid).mean()
+
+
+def mse_depth_loss(pred: jnp.ndarray, gt: jnp.ndarray,
+                   valid_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Masked MSE (depth/depth/models/losses/mseloss.py)."""
+    if valid_mask is None:
+        valid_mask = gt > 0
+    se = jnp.where(valid_mask, (pred - gt) ** 2, 0.0)
+    return se.sum() / jnp.maximum(valid_mask.sum(), 1)
+
+
+def ce_bins_loss(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Plain CE over bin classes (depth/depth/models/losses/celoss.py:38-46,
+    used by BinsFormer's auxiliary classification)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    return nll.mean()

@@ -43,6 +43,11 @@ class OptimConfig:
     warmup_ratio: float = 1e-6
     power: float = 1.0
     min_lr: float = 0.0
+    # layer-wise lr decay (reference LearningRateDecayOptimizerConstructor,
+    # mmseg/core/optimizers/layer_decay_optimizer_constructor.py:103 — shipped
+    # by the reference but unused by DDP configs). None disables.
+    layer_decay_rate: Optional[float] = None
+    layer_decay_num_layers: int = 12
 
 
 def _path_str(path) -> str:
@@ -62,6 +67,52 @@ def _rule_for(path: str, leaf, custom_keys) -> Tuple[float, float]:
     if leaf.ndim <= 1:
         decay_mult = 0.0
     return lr_mult, decay_mult
+
+
+def layer_id_for_path(path: str, num_layers: int) -> int:
+    """Layer id of a parameter for layer-wise lr decay, adapted to this
+    package's module naming (reference get_layer_id_for_convnext /
+    get_layer_id_for_vit, layer_decay_optimizer_constructor.py:11-101).
+
+    ConvNeXt paths look like ``backbone/stage{S}_block{B}/...`` and
+    ``backbone/stem_*`` / ``backbone/down_*{S}``; ViT-style backbones use
+    ``backbone/layers_{i}`` or ``.../block{i}/``. Anything outside the
+    backbone gets ``num_layers + 1`` (full lr).
+    """
+    import re
+
+    if "backbone" not in path:
+        return num_layers + 1
+    if "stem" in path or "patch_embed" in path or "pos_embed" in path:
+        return 0
+    m = re.search(r"stage(\d+)_block(\d+)", path)
+    if m:
+        stage_id, block_id = int(m.group(1)), int(m.group(2))
+        if stage_id == 0:
+            return 1
+        if stage_id == 1:
+            return 2
+        if stage_id == 2:
+            return 3 + block_id // 3
+        return num_layers
+    m = re.search(r"down_(?:conv|norm)(\d+)", path)
+    if m:
+        stage_id = int(m.group(1))
+        return {1: 2, 2: 3}.get(stage_id, num_layers)
+    m = re.search(r"layers?_?(\d+)", path)
+    if m:
+        return int(m.group(1)) + 1
+    return num_layers
+
+
+def layer_decay_lr_mults(params, decay_rate: float, num_layers: int):
+    """Per-param lr multiplier tree: decay_rate ** (num_layers + 1 - layer_id)."""
+
+    def mult(path, _leaf):
+        lid = layer_id_for_path(_path_str(path), num_layers)
+        return decay_rate ** (num_layers + 1 - lid)
+
+    return jax.tree_util.tree_map_with_path(mult, params)
 
 
 def make_lr_schedule(cfg: OptimConfig):
@@ -93,6 +144,10 @@ def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
                                         is_leaf=lambda x: isinstance(x, tuple))
     lr_mults = jax.tree_util.tree_map(lambda r: r[0], rules,
                                       is_leaf=lambda x: isinstance(x, tuple))
+    if cfg.layer_decay_rate is not None:
+        ld = layer_decay_lr_mults(params, cfg.layer_decay_rate,
+                                  cfg.layer_decay_num_layers)
+        lr_mults = jax.tree_util.tree_map(lambda m, d: m * d, lr_mults, ld)
     sched = make_lr_schedule(cfg)
 
     def scale_by_lr_mult() -> optax.GradientTransformation:

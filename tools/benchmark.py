@@ -20,8 +20,21 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def depend(x, i):
+    """Make ``x`` data-depend on loop counter ``i`` (runtime no-op) so XLA
+    cannot hoist the loop body out as loop-invariant."""
+    zero = jnp.where(i < 0, jnp.ones((), x.dtype), jnp.zeros((), x.dtype))
+    return x + zero
+
+
 def delta_time(fn, *args, iters=4):
-    """Per-iteration seconds of fn, excluding dispatch/transfer overhead."""
+    """Per-iteration seconds of fn, excluding dispatch/transfer overhead.
+
+    ``fn(*args, i)`` MUST make its output depend on ``i`` (use ``depend`` on
+    an input) — otherwise XLA's loop-invariant code motion computes the body
+    once and the measurement is meaningless. The final ``float()`` forces a
+    host transfer, which is the only honest synchronization through the
+    remote-TPU relay (block_until_ready returns early there)."""
 
     @jax.jit
     def loop(n, *args):
@@ -87,7 +100,8 @@ def main():
     # 1. backbone+neck only
     if want("backbone"):
         def backbone_fn(v, im, i):
-            return model.apply(v, im, train=False, method=model.extract_feat)
+            return model.apply(v, depend(im, i), train=False,
+                               method=model.extract_feat)
 
         t = delta_time(backbone_fn, variables, img)
         results["backbone_ms"] = t * 1e3
@@ -100,7 +114,7 @@ def main():
     if want("denoise"):
         def denoise_fn(v, x, mask, i):
             log_snr = jnp.zeros((b,), dtype)
-            return model.apply(v, x, mask, log_snr, train=False,
+            return model.apply(v, depend(x, i), mask, log_snr, train=False,
                                method=model.denoise_logits)
 
         t = delta_time(denoise_fn, variables, x, mask)
@@ -114,7 +128,7 @@ def main():
 
     if want("msda"):
         def msda_fn(v, l, w, i):
-            return ms_deform_attn(v, ((feat_hw, feat_hw),), l, w)
+            return ms_deform_attn(depend(v, i), ((feat_hw, feat_hw),), l, w)
 
         t = delta_time(msda_fn, val, loc, wts)
         results["msda_op_ms"] = t * 1e3
@@ -122,7 +136,7 @@ def main():
     # 4. full 3-step rollout (the bench.py headline)
     if want("full"):
         def full_fn(v, im, i):
-            return model.apply(v, im, method=model.sample,
+            return model.apply(v, depend(im, i), method=model.sample,
                                rngs={"diffusion": jax.random.fold_in(
                                    jax.random.PRNGKey(7), i)})
 
