@@ -26,6 +26,11 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
+    # bf16 inference is the production TPU configuration (params cast once,
+    # LayerNorm statistics stay f32 inside flax); BENCH_DTYPE=f32 reproduces
+    # the round-1 f32 baseline.
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
+        os.environ.get("BENCH_DTYPE", "bf16")]
     model = DDPSegmentor(
         num_classes=150,
         backbone_type="swin",
@@ -33,13 +38,15 @@ def main():
         diffusion=DiffusionConfig(timesteps=3, randsteps=1, accumulation=True),
         drop_path_rate=0.0,
     )
-    img = jnp.zeros((batch, size, size, 3), jnp.bfloat16)
+    img = jnp.zeros((batch, size, size, 3), dtype)
     gt = jnp.zeros((batch, size, size), jnp.int32)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
          "dropout": jax.random.PRNGKey(2)},
         img[:1].astype(jnp.float32), gt[:1], train=False,
     )
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables)
 
     @jax.jit
     def forward_n(variables, img, rng, n):
@@ -51,10 +58,10 @@ def main():
         """
 
         def body(i, acc):
-            out = model.apply(variables, img.astype(jnp.float32),
+            out = model.apply(variables, img,
                               method=model.sample,
                               rngs={"diffusion": jax.random.fold_in(rng, i)})
-            return acc + jnp.sum(out)
+            return acc + jnp.sum(out).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 

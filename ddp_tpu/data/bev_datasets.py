@@ -265,3 +265,35 @@ def bev_batch_iterator(ds, batch_size: int, seed: int = 0,
         cursor += batch_size
         if cursor >= len(ds):
             cursor, epoch = 0, epoch + 1
+
+
+def rasterize_lidar_depth(points, camera2lidar_rots, camera2lidar_trans,
+                          intrins, post_rots, post_trans, image_size):
+    """Project lidar points into each camera and rasterize a sparse depth
+    canvas [N, H, W, 1] (host numpy) — the input to DepthLSSTransform.
+
+    Mirrors BaseDepthTransform.forward's point→pixel projection
+    (bev/mmdet3d/models/vtransforms/base.py) with nearest-point-wins
+    (minimum depth) rasterization.
+    """
+    h, w = image_size
+    n = intrins.shape[0]
+    canvas = np.zeros((n, h, w, 1), np.float32)
+    xyz = points[:, :3]
+    for i in range(n):
+        # lidar -> camera
+        cam = (xyz - camera2lidar_trans[i]) @ camera2lidar_rots[i]  # R^T via right-mult
+        depth = cam[:, 2]
+        ok = depth > 1e-3
+        uvd = cam @ intrins[i].T
+        uv = uvd[:, :2] / np.maximum(uvd[:, 2:3], 1e-5)
+        # image augmentation (post rot/trans on pixel coords)
+        uv = uv @ post_rots[i][:2, :2].T + post_trans[i][:2]
+        ui = np.round(uv[:, 0]).astype(np.int64)
+        vi = np.round(uv[:, 1]).astype(np.int64)
+        ok &= (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+        ui, vi, dd = ui[ok], vi[ok], depth[ok]
+        # nearest point wins: process in decreasing depth so closer overwrite
+        order = np.argsort(-dd)
+        canvas[i, vi[order], ui[order], 0] = dd[order]
+    return canvas

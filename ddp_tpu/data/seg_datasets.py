@@ -169,3 +169,146 @@ def seg_batch_iterator(
             yield q.get()
     finally:
         stop.set()
+
+
+# ---------------------------------------------------------------------------
+# Dataset metadata registry + generic folder dataset + wrappers
+# (mmseg custom.py / dataset_wrappers.py equivalents, SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+CITYSCAPES_CLASSES = (
+    "road", "sidewalk", "building", "wall", "fence", "pole", "traffic light",
+    "traffic sign", "vegetation", "terrain", "sky", "person", "rider", "car",
+    "truck", "bus", "train", "motorcycle", "bicycle")
+
+CITYSCAPES_PALETTE = [
+    [128, 64, 128], [244, 35, 232], [70, 70, 70], [102, 102, 156],
+    [190, 153, 153], [153, 153, 153], [250, 170, 30], [220, 220, 0],
+    [107, 142, 35], [152, 251, 152], [70, 130, 180], [220, 20, 60],
+    [255, 0, 0], [0, 0, 142], [0, 0, 70], [0, 60, 100], [0, 80, 100],
+    [0, 0, 230], [119, 11, 32]]
+
+
+def voc_palette(n: int = 21):
+    """Canonical PASCAL-VOC palette generator (bit-interleave formula)."""
+    pal = np.zeros((n, 3), np.uint8)
+    for i in range(n):
+        c, j = i, 0
+        while c:
+            pal[i, 0] |= ((c >> 0) & 1) << (7 - j)
+            pal[i, 1] |= ((c >> 1) & 1) << (7 - j)
+            pal[i, 2] |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+            j += 1
+    return pal.tolist()
+
+
+def _procedural_palette(n: int):
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 255, (n, 3)).tolist()
+
+
+PALETTES = {
+    "cityscapes": CITYSCAPES_PALETTE,
+    "voc": voc_palette(21),
+    "ade20k": _procedural_palette(150),
+    "coco_stuff": _procedural_palette(171),
+    "loveda": _procedural_palette(7),
+    "potsdam": _procedural_palette(6),
+    "vaihingen": _procedural_palette(6),
+    "isaid": _procedural_palette(16),
+}
+
+NUM_CLASSES = {
+    "ade20k": 150, "cityscapes": 19, "voc": 21, "coco_stuff": 171,
+    "loveda": 7, "potsdam": 6, "vaihingen": 6, "isaid": 16,
+}
+
+IMAGENET_MEAN = (123.675, 116.28, 103.53)
+IMAGENET_STD = (58.395, 57.12, 57.375)
+
+
+def normalize_image(img: np.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    return ((img - np.asarray(mean, np.float32))
+            / np.asarray(std, np.float32)).astype(np.float32)
+
+
+class CustomSegDataset:
+    """Generic (img_dir, ann_dir, suffixes) folder dataset — the mmseg
+    ``CustomDataset`` pattern (segmentation/mmseg/datasets/custom.py) that all
+    19 reference datasets instantiate. Covers VOC/COCO-Stuff/LoveDA/Potsdam/
+    iSAID-style layouts via constructor args."""
+
+    def __init__(self, img_dir: str, ann_dir: str, img_suffix: str = ".jpg",
+                 seg_map_suffix: str = ".png", reduce_zero_label: bool = False,
+                 label_map: Optional[np.ndarray] = None):
+        self.img_dir, self.ann_dir = img_dir, ann_dir
+        self.reduce_zero_label = reduce_zero_label
+        self.label_map = label_map
+        self.items = []
+        if os.path.isdir(img_dir):
+            for f in sorted(os.listdir(img_dir)):
+                if f.endswith(img_suffix):
+                    self.items.append(
+                        (os.path.join(img_dir, f),
+                         os.path.join(ann_dir,
+                                      f[: -len(img_suffix)] + seg_map_suffix)))
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        img_path, ann_path = self.items[idx]
+        img = np.asarray(Image.open(img_path).convert("RGB"), np.float32)
+        label = np.asarray(Image.open(ann_path), np.int32)
+        if self.reduce_zero_label:
+            label = np.where(label == 0, 255, label - 1).astype(np.int32)
+        if self.label_map is not None:
+            label = self.label_map[np.clip(label, 0, 255)]
+        return {"image": img, "label": label}
+
+
+class RepeatDataset:
+    """Repeat a dataset N times per epoch (mmseg dataset_wrappers.py)."""
+
+    def __init__(self, ds, times: int):
+        self.ds, self.times = ds, times
+
+    def __len__(self):
+        return len(self.ds) * self.times
+
+    def load(self, idx: int):
+        return self.ds.load(idx % len(self.ds))
+
+
+class ConcatDataset:
+    """Concatenate datasets (mmseg dataset_wrappers.py)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._cum = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._cum[-1])
+
+    def load(self, idx: int):
+        di = int(np.searchsorted(self._cum, idx, side="right"))
+        prev = 0 if di == 0 else int(self._cum[di - 1])
+        return self.datasets[di].load(idx - prev)
+
+
+def build_eval_dataset(data_cfg):
+    """Iterator of normalized eval samples for a DataConfig."""
+    if data_cfg.dataset == "synthetic":
+        ds = SyntheticSegDataset(length=64)
+    else:
+        ds = SegDataset(data_cfg.data_root, split="val", dataset=data_cfg.dataset)
+
+    def gen():
+        for i in range(len(ds)):
+            s = ds.load(i)
+            yield {"image": normalize_image(s["image"]), "label": s["label"]}
+
+    return gen()

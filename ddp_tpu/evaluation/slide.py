@@ -72,3 +72,30 @@ def flip_tta(
     out = predict_fn(img)
     out_f = predict_fn(img[:, :, ::-1])
     return 0.5 * (out + out_f[:, :, ::-1])
+
+
+def multi_scale_flip_tta(
+    predict_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    img: jnp.ndarray,  # [B, H, W, 3]
+    scales: Tuple[float, ...] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+    flip: bool = True,
+) -> jnp.ndarray:
+    """Multi-scale (+flip) test-time augmentation — mmseg MultiScaleFlipAug
+    (segmentation/mmseg/datasets/pipelines/test_time_aug.py) + aug_test logit
+    averaging (encoder_decoder.py:315-335). Each scale's prediction is
+    bilinearly resized back to the input resolution and averaged; this is the
+    reference's 'MS' eval protocol (README 'SS/MS' columns).
+
+    Scale set is static → one XLA program over all scales.
+    """
+    from ..ops.resize import resize
+
+    b, h, w, _ = img.shape
+    acc = None
+    for s in scales:
+        hs, ws = int(round(h * s)), int(round(w * s))
+        x = img if (hs, ws) == (h, w) else resize(img, (hs, ws), mode="bilinear")
+        p = flip_tta(predict_fn, x) if flip else predict_fn(x)
+        p = p if (hs, ws) == (h, w) else resize(p, (h, w), mode="bilinear")
+        acc = p if acc is None else acc + p
+    return acc / len(scales)

@@ -46,6 +46,9 @@ class DDPSegmentor(nn.Module):
     decoder_layers: int = 6
     decoder_heads: int = 8
     decoder_ffn_dim: int = 1024
+    # 'msda' = faithful deformable attention; 'window' = TPU-native dense
+    # shifted-window attention (no gather; see ops/pallas/msda_notes.md)
+    decoder_attn: str = "msda"
     # SelfAlignedDDP training mode (self_aligned_ddp.py:130-185): denoise the
     # model's OWN t=1 prediction instead of the GT latent
     self_aligned: bool = False
@@ -64,6 +67,7 @@ class DDPSegmentor(nn.Module):
         self.decode_head = DeformableHeadWithTime(
             self.num_classes, self.embed_dims, num_layers=self.decoder_layers,
             num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim,
+            attn_type=self.decoder_attn,
         )
         self.aux_head = FCNHead(self.num_classes, self.embed_dims)
         # K+1 entries: index num_classes is the ignore/padding class (ddp.py:78)

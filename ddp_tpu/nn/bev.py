@@ -255,3 +255,93 @@ def bev_grid_transform(
     left = jnp.take(x, clo, axis=2) * clo_ok[None, None, :, None]
     right = jnp.take(x, chi, axis=2) * chi_ok[None, None, :, None]
     return left * (1.0 - ct)[None, None, :, None] + right * ct[None, None, :, None]
+
+
+class DepthLSSTransform(nn.Module):
+    """Lidar-guided LSS (the fusion model's vtransform).
+
+    Parity target: DepthLSSTransform (bev/mmdet3d/models/vtransforms/
+    depth_lss.py:15-124): a sparse per-pixel lidar depth canvas at image
+    resolution is encoded by ``dtransform`` (1→8 1x1, 8→32 5x5/4, 32→64
+    5x5/2 — net /8 to feature scale), concatenated with camera features, and
+    fed to a 2-conv depthnet producing D+C channels.
+
+    The depth canvas is rasterized on HOST (numpy, see
+    data/bev_datasets.rasterize_lidar_depth) — projecting sparse points is a
+    data-layout job, not an MXU job (TPU-first split, SURVEY.md §7).
+    """
+
+    out_channels: int = 80
+    image_size: Tuple[int, int] = (256, 704)
+    feature_size: Tuple[int, int] = (32, 88)
+    xbound: Tuple[float, float, float] = (-51.2, 51.2, 0.4)
+    ybound: Tuple[float, float, float] = (-51.2, 51.2, 0.4)
+    zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
+    dbound: Tuple[float, float, float] = (1.0, 60.0, 0.5)
+    downsample: int = 2
+
+    @property
+    def depth_bins(self) -> int:
+        return int(round((self.dbound[1] - self.dbound[0]) / self.dbound[2]))
+
+    @property
+    def grid(self):
+        nx = [int(round((b[1] - b[0]) / b[2]))
+              for b in (self.xbound, self.ybound, self.zbound)]
+        dx = [b[2] for b in (self.xbound, self.ybound, self.zbound)]
+        bx = [b[0] + b[2] / 2.0 for b in (self.xbound, self.ybound, self.zbound)]
+        return nx, dx, bx
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,  # [B, N, fH, fW, C]
+        depth_canvas: jnp.ndarray,  # [B, N, H, W, 1] sparse lidar depth
+        camera2lidar_rots, camera2lidar_trans, intrins, post_rots, post_trans,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        b, n, fh, fw, c = feats.shape
+        d_bins = self.depth_bins
+        ch = self.out_channels
+
+        dc = depth_canvas.reshape((b * n,) + depth_canvas.shape[2:])
+        dspec = [(8, (1, 1), 1), (32, (5, 5), 4), (64, (5, 5), 2)]
+        for i, (f, k, s) in enumerate(dspec):
+            dc = nn.Conv(f, k, strides=(s, s), padding="SAME",
+                         name=f"dtransform{i}")(dc)
+            dc = BatchNorm(use_running_average=not train,
+                           name=f"dtransform_bn{i}")(dc)
+            dc = nn.relu(dc)
+        dc = dc.reshape(b, n, fh, fw, -1)
+
+        x = jnp.concatenate([dc, feats], axis=-1)
+        for i in range(2):
+            x = nn.Conv(c, (3, 3), padding="SAME", name=f"depthnet{i}")(x)
+            x = BatchNorm(use_running_average=not train,
+                          name=f"depthnet_bn{i}")(x)
+            x = nn.relu(x)
+        x = nn.Conv(d_bins + ch, (1, 1), name="depthnet_out")(x)
+
+        depth = jax.nn.softmax(x[..., :d_bins], axis=-1)
+        cam = depth[..., None] * x[..., d_bins:][..., None, :]
+        cam = jnp.moveaxis(cam, -2, 2)  # [B, N, D, fH, fW, C]
+
+        frustum = jnp.asarray(frustum_grid(self.image_size, self.feature_size,
+                                           self.dbound))
+        geom = lss_geometry(frustum, camera2lidar_rots, camera2lidar_trans,
+                            intrins, post_rots, post_trans)
+        nx, dx, bx = self.grid
+        coords, valid = quantize_geometry(geom, tuple(bx), tuple(dx), tuple(nx))
+        p = n * d_bins * fh * fw
+        pooled = bev_pool(cam.reshape(b, p, ch), coords.reshape(b, p, 3),
+                          valid.reshape(b, p), nx[0], nx[1], nx[2])
+        if self.downsample > 1:
+            assert self.downsample == 2
+            for i, stride in enumerate((1, 2, 1)):
+                pooled = nn.Conv(ch, (3, 3), strides=(stride, stride),
+                                 padding="SAME", use_bias=False,
+                                 name=f"down{i}")(pooled)
+                pooled = BatchNorm(use_running_average=not train,
+                                   name=f"down_bn{i}")(pooled)
+                pooled = nn.relu(pooled)
+        return pooled

@@ -27,6 +27,7 @@ class DeformableHeadWithTime(nn.Module):
     num_heads: int = 8
     num_points: int = 4
     ffn_dim: int = 1024
+    attn_type: str = "msda"  # 'msda' faithful | 'window' TPU-native dense
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time: Optional[jnp.ndarray],
@@ -43,7 +44,8 @@ class DeformableHeadWithTime(nn.Module):
         q = x.reshape(b, h * w, c)
         q = TimeFiLMEncoder(
             self.num_layers, self.embed_dims, self.num_heads, 1, self.num_points,
-            self.ffn_dim, use_time=True, name="encoder",
+            self.ffn_dim, use_time=True, attn_type=self.attn_type,
+            name="encoder",
         )(q, time, pos, refs, spatial_shapes)
         q = q.reshape(b, h, w, c)
         return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(q)
@@ -61,6 +63,7 @@ class DeformableDepthHead(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     min_depth: float = 1e-3
+    attn_type: str = "msda"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time: Optional[jnp.ndarray],
@@ -73,7 +76,8 @@ class DeformableDepthHead(nn.Module):
         q = x.reshape(b, h * w, c)
         q = TimeFiLMEncoder(
             self.num_layers, self.embed_dims, self.num_heads, 1, self.num_points,
-            self.ffn_dim, use_time=True, name="encoder",
+            self.ffn_dim, use_time=True, attn_type=self.attn_type,
+            name="encoder",
         )(q, time, pos, refs, spatial_shapes)
         q = q.reshape(b, h, w, c)
         depth = nn.Conv(1, (1, 1), name="conv_depth")(q)

@@ -72,10 +72,10 @@ class DeformableAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        query: jnp.ndarray,  # [B, S, C]
-        value: jnp.ndarray,  # [B, S, C]
-        query_pos: Optional[jnp.ndarray],  # [S, C] or [B, S, C]
-        ref_points: jnp.ndarray,  # [S, L, 2]
+        query: jnp.ndarray,  # [B, Q, C]
+        value: jnp.ndarray,  # [B, S, C] (S = sum_l H_l*W_l; Q may differ)
+        query_pos: Optional[jnp.ndarray],  # [Q, C] or [B, Q, C]
+        ref_points: jnp.ndarray,  # [Q, L, 2] static or [B, Q, L, 2] learned
         spatial_shapes: Sequence[Tuple[int, int]],
     ) -> jnp.ndarray:
         b, s, c = query.shape
@@ -101,13 +101,17 @@ class DeformableAttention(nn.Module):
 
         v = nn.Dense(c, name="value_proj", kernel_init=nn.initializers.xavier_uniform())(
             value
-        ).reshape(b, s, h, head_dim)
+        ).reshape(b, value.shape[1], h, head_dim)
 
         # offsets are in pixels of each level; normalize by (W_l, H_l)
         normalizer = jnp.asarray(
             [[w_, h_] for (h_, w_) in spatial_shapes], dtype=query.dtype
         )  # [L, 2] as (x, y) divisors
-        loc = ref_points[None, :, None, :, None, :] + offsets / normalizer[None, None, None, :, None, :]
+        if ref_points.ndim == 3:  # static per-token [Q, L, 2]
+            refs = ref_points[None, :, None, :, None, :]
+        else:  # learned per-batch [B, Q, L, 2] (HAHI cross-attention)
+            refs = ref_points[:, :, None, :, None, :]
+        loc = refs + offsets / normalizer[None, None, None, :, None, :]
 
         out = ms_deform_attn(v, spatial_shapes, loc, weights)
         out = nn.Dense(c, name="output_proj", kernel_init=nn.initializers.xavier_uniform())(out)
@@ -123,6 +127,9 @@ class TimeFiLMEncoderLayer(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     use_time: bool = True
+    attn_type: str = "msda"  # 'msda' (faithful) | 'window' (TPU-native dense)
+    window: int = 8
+    shift: int = 0
 
     @nn.compact
     def __call__(
@@ -133,10 +140,16 @@ class TimeFiLMEncoderLayer(nn.Module):
         ref_points: jnp.ndarray,
         spatial_shapes: Sequence[Tuple[int, int]],
     ) -> jnp.ndarray:
-        query = DeformableAttention(
-            self.embed_dims, self.num_heads, self.num_levels, self.num_points,
-            name="attn",
-        )(query, query, query_pos, ref_points, spatial_shapes)
+        if self.attn_type == "window":
+            query = WindowSelfAttention(
+                self.embed_dims, self.num_heads, self.window, self.shift,
+                name="attn",
+            )(query, query_pos, spatial_shapes[0])
+        else:
+            query = DeformableAttention(
+                self.embed_dims, self.num_heads, self.num_levels, self.num_points,
+                name="attn",
+            )(query, query, query_pos, ref_points, spatial_shapes)
         query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
         query = query + Mlp(self.ffn_dim, self.embed_dims, act=nn.gelu, name="ffn")(query)
         query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query)
@@ -157,12 +170,72 @@ class TimeFiLMEncoder(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     use_time: bool = True
+    attn_type: str = "msda"
+    window: int = 8
 
     @nn.compact
     def __call__(self, query, time, query_pos, ref_points, spatial_shapes):
         for i in range(self.num_layers):
             query = TimeFiLMEncoderLayer(
                 self.embed_dims, self.num_heads, self.num_levels, self.num_points,
-                self.ffn_dim, self.use_time, name=f"layer{i}",
+                self.ffn_dim, self.use_time, self.attn_type, self.window,
+                shift=0 if i % 2 == 0 else self.window // 2, name=f"layer{i}",
             )(query, time, query_pos, ref_points, spatial_shapes)
         return query
+
+
+class WindowSelfAttention(nn.Module):
+    """Dense shifted-window self-attention over the token grid — the
+    TPU-first alternative to deformable sampling (pure MXU, no gather; see
+    ops/pallas/msda_notes.md for the measurements motivating it). Swin-style
+    partition/shift, no relative bias (position comes from the decoder's
+    sine embedding)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    window: int = 8
+    shift: int = 0
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, query_pos: Optional[jnp.ndarray],
+                 hw: Tuple[int, int]) -> jnp.ndarray:
+        from .swin import _shift_attn_mask, window_partition, window_reverse
+
+        b, s, c = query.shape
+        h, w = hw
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+        x = query.reshape(b, h, w, c)
+        win = self.window
+        pad_h = (-h) % win
+        pad_w = (-w) % win
+        hp, wp = h + pad_h, w + pad_w
+        shift = self.shift if min(hp, wp) > win else 0
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        if shift:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        mask = _shift_attn_mask(hp, wp, win, shift)
+        mask = jnp.asarray(mask) if mask is not None else None
+
+        xw = window_partition(x, win)  # [B*nW, win², C]
+        nh, d = self.num_heads, c // self.num_heads
+        qkv = nn.Dense(3 * c, name="qkv")(xw).reshape(xw.shape[0], -1, 3, nh, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * (d**-0.5), k)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(-1, nw, nh, attn.shape[-2], attn.shape[-1])
+            attn = attn + mask[None, :, None]
+            attn = attn.reshape(-1, nh, attn.shape[-2], attn.shape[-1])
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        y = y.reshape(xw.shape[0], -1, c)
+        y = nn.Dense(c, name="proj")(y)
+        y = window_reverse(y, win, hp, wp)
+        if shift:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if pad_h or pad_w:
+            y = y[:, :h, :w]
+        return identity + y.reshape(b, s, c)
