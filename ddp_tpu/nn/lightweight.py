@@ -284,8 +284,6 @@ class _CGBlock(nn.Module):
         alpha = self.param("prelu", nn.initializers.constant(0.25),
                            (j.shape[-1],))
         j = jnp.where(j >= 0, j, alpha * j)
-        if self.stride == 1 and x.shape[-1] == self.features:
-            pass
         # global context gate
         g = jnp.mean(j, axis=(1, 2))
         g = nn.relu(nn.Dense(self.features // self.reduction, name="fc1")(g))
@@ -387,7 +385,8 @@ class ERFNet(nn.Module):
 class ICNeck(nn.Module):
     """ICNet cascade-feature-fusion neck (ic_neck.py): fuses 1/32, 1/16, 1/8
     branch maps pairwise with dilated conv + upsample (CascadeFeatureFusion).
-    Input: (c_sub4, c_sub2, c_sub1) coarse→fine."""
+    Input: (c_sub1, c_sub2, c_sub4) fine→coarse — the reference's ic_neck.py
+    unpacks (x_sub1, x_sub2, x_sub4) the same way."""
 
     channels: int = 128
 
@@ -402,7 +401,7 @@ class ICNeck(nn.Module):
                         act=None)
             return nn.relu(low + high), low
 
-        c1, c2, c3 = inputs  # fine → coarse? accept coarse-last ordering
+        c1, c2, c3 = inputs  # fine → coarse; c3 is the coarsest (1/32) map
         fused24, low24 = cff(c3, c2, "cff24")
         fused12, low12 = cff(fused24, c1, "cff12")
         return (low24, low12, fused12)

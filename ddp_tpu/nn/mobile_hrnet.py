@@ -150,16 +150,30 @@ _V3_SMALL = [
 class MobileNetV3(nn.Module):
     """MobileNetV3 backbone (mmseg mobilenet_v3.py). out_indices default to
     the LR-ASPP taps ((1,3,16) large / (0,1,12) small in mmseg block space —
-    here exposed as 'early / mid / final conv' taps)."""
+    here exposed as 'early / mid / final conv' taps).
+
+    With ``dilated=True`` (default, mmseg's unconditional seg conversion,
+    mobilenet_v3.py:199-241) the last two downsampling blocks are converted to
+    stride 1 and the tail runs dilated (2 then 4), so the final tap comes out
+    at output stride 8 instead of 32 — the resolution LR-ASPP expects."""
 
     arch: str = "large"
     out_indices: Sequence[int] = ()
+    dilated: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         cfg = _V3_LARGE if self.arch == "large" else _V3_SMALL
         default_taps = (1, 3) if self.arch == "large" else (0, 1)
         taps = tuple(self.out_indices) or default_taps
+        # seg conversion (mmseg mobilenet_v3.py:199-241, 0-based block idx):
+        # large: blocks 6 & 12 stride->1; blocks 7..12 dilation 2, 13.. 4.
+        # small: blocks 3 & 8 stride->1; blocks 4..8 dilation 2, 9.. 4.
+        if self.dilated:
+            destride = (6, 12) if self.arch == "large" else (3, 8)
+            dil2 = (range(7, 13) if self.arch == "large" else range(4, 9))
+        else:
+            destride, dil2 = (), range(0)
         stem_w = 16
         x = nn.Conv(stem_w, (3, 3), strides=(2, 2), padding="SAME",
                     use_bias=False, name="stem")(x)
@@ -168,8 +182,14 @@ class MobileNetV3(nn.Module):
         x = _hswish(x)
         outs = []
         for i, (k, e, o, se, act, s) in enumerate(cfg):
+            if self.dilated:
+                if i in destride:
+                    s = 1
+                d = 2 if i in dil2 else (4 if i > max(destride) else 1)
+            else:
+                d = 1
             x = _InvertedResidual(o, e, kernel=k, stride=s, se=se, act=act,
-                                  name=f"block{i}")(x, train=train)
+                                  dilation=d, name=f"block{i}")(x, train=train)
             if i in taps:
                 outs.append(x)
         # final 1x1 conv tap (mmseg appends a conv layer as the last output)

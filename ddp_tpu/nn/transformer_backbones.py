@@ -79,7 +79,26 @@ class LocallyGroupedAttention(nn.Module):
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
         qkv = nn.Dense(3 * c, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = _attn(q, k, v, self.num_heads)
+        if pad_h or pad_w:
+            # mask padded key positions (the reference LSA adds a -1000 bias
+            # to padded tokens, twins.py:118-125); the pad layout is static
+            valid = np.zeros((hh, ww), np.float32)
+            valid[:h, :w] = 1.0
+            valid = valid.reshape(hh // ws, ws, ww // ws, ws)
+            valid = valid.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+            mask = jnp.asarray((1.0 - valid) * -1000.0)  # [nW, ws*ws]
+            mask = jnp.tile(mask, (b, 1))[:, None, None, :]  # [b*nW,1,1,ws2]
+            bq, n_, _ = q.shape
+            d = c // self.num_heads
+            qh = q.reshape(bq, n_, self.num_heads, d).transpose(0, 2, 1, 3)
+            kh = k.reshape(bq, n_, self.num_heads, d).transpose(0, 2, 1, 3)
+            vh = v.reshape(bq, n_, self.num_heads, d).transpose(0, 2, 1, 3)
+            a = jnp.einsum("bhnd,bhmd->bhnm", qh, kh) / np.sqrt(d) + mask
+            a = nn.softmax(a, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", a, vh)
+            out = out.transpose(0, 2, 1, 3).reshape(bq, n_, c)
+        else:
+            out = _attn(q, k, v, self.num_heads)
         out = nn.Dense(c, name="proj")(out)
         out = out.reshape(b, hh // ws, ww // ws, ws, ws, c)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, c)
@@ -152,7 +171,14 @@ class Twins(nn.Module):
                                 feature_group_count=c, name=f"peg{s}")(y)
                     t = (y.reshape(b, h * w, c) + t)
             x = t.reshape(b, h, w, c)
-            if s in self.out_indices:
+            if self.svt:
+                # SVT default norm_after_stage=True: the stage norm applies to
+                # x itself, so the next stage's patch embed sees normed maps
+                # (twins.py norm_after_stage / norm_list)
+                x = nn.LayerNorm(epsilon=1e-6, name=f"out_norm{s}")(x)
+                if s in self.out_indices:
+                    outs.append(x)
+            elif s in self.out_indices:
                 outs.append(nn.LayerNorm(epsilon=1e-6, name=f"out_norm{s}")(x))
         return tuple(outs)
 

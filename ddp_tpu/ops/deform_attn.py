@@ -7,10 +7,11 @@ Semantics replicated here (from mmcv's pytorch fallback
 bilinear interpolation, ``align_corners=False`` and zero padding at learned
 sampling locations, then a weighted sum over (levels × points).
 
-This module holds the pure-XLA implementation (gather + lerp), which serves as
-the correctness oracle and CPU fallback; the Pallas TPU kernel lives in
-``ddp_tpu.ops.pallas.msda`` and is dispatched via ``ms_deform_attn`` when
-running on TPU with supported shapes.
+This module holds two pure-XLA implementations: the oracle (4 gathers + lerp)
+and a single-gather 2x2-window fast path. There is deliberately NO Pallas
+kernel for MSDA — the measured analysis in ``ddp_tpu/ops/pallas/msda_notes.md``
+found the op gather-issue-bound on TPU either way; the TPU-native answer is the
+dense shifted-window decoder (``attn_type='window'`` in nn/transformer.py).
 
 Layouts (batch-first, TPU-native):
   value:              [B, S, H, D]   (S = sum_l H_l*W_l tokens, H heads)
