@@ -97,7 +97,8 @@ def train(
         start_step = int(state.step)
         print(f"resumed from step {start_step}", flush=True)
 
-    step_fn = make_train_step(model, tx, mesh=mesh, batch_keys=tuple(batch_keys))
+    step_fn = make_train_step(model, tx, mesh=mesh, batch_keys=tuple(batch_keys),
+                              mixed_precision=rt.mixed_precision)
     logger = MetricLogger(rt.workdir, rt.log_interval)
     from .optim import make_lr_schedule
 

@@ -39,12 +39,20 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def _to_bf16(tree):
+    """Cast float32 leaves to bfloat16 (ints / other dtypes untouched)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32 else x, tree)
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
     mesh=None,
     donate: bool = True,
     batch_keys: Tuple[str, ...] = ("image", "label"),
+    mixed_precision: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted train step. ``model`` is a flax module whose __call__
     returns (loss, logs) given the batch values named by ``batch_keys``
@@ -54,6 +62,12 @@ def make_train_step(
     With a mesh: params/opt_state replicated, batch sharded along 'data'.
     The loss is a global batch mean, so grads are already the DP average —
     no explicit psum needed (XLA inserts collectives).
+
+    ``mixed_precision=True`` is the TPU bf16 policy (the reference's
+    Fp16OptimizerHook equivalent, bev/mmdet3d/apis/train.py:76-89, minus the
+    loss scaling bf16 doesn't need): master params, optimizer state and the
+    final loss stay f32; the forward/backward runs on bf16 casts of params and
+    float inputs, and the cast boundary upcasts the gradients back to f32.
     """
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
@@ -61,23 +75,33 @@ def make_train_step(
         # fold in step so each iteration sees fresh noise even after restore
         rng = jax.random.fold_in(rng, state.step)
         d_rng, drop_rng = jax.random.split(rng)
+        if mixed_precision:
+            batch_c = {k: _to_bf16(v) for k, v in batch.items()}
+        else:
+            batch_c = batch
 
         def loss_fn(params):
-            variables = {"params": params}
+            variables = {"params": _to_bf16(params) if mixed_precision
+                         else params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             (loss, logs), mutated = model.apply(
                 variables,
-                *[batch[k] for k in batch_keys],
+                *[batch_c[k] for k in batch_keys],
                 train=True,
                 rngs={"diffusion": d_rng, "dropout": drop_rng},
                 mutable=["batch_stats"],
             )
-            return loss, (logs, mutated.get("batch_stats", {}))
+            return loss.astype(jnp.float32), (logs, mutated.get("batch_stats", {}))
 
         (loss, (logs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if mixed_precision:
+            # BN running stats and logged scalars stay f32 in the state
+            f32 = lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+            new_stats = jax.tree_util.tree_map(f32, new_stats)
+            logs = jax.tree_util.tree_map(f32, dict(logs))
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         logs = dict(logs)

@@ -122,3 +122,22 @@ def test_weight_decay_mask(setup):
             assert decay == 1.0, p
             checked_kernel = True
     assert checked_bias and checked_kernel
+
+
+def test_mixed_precision_bf16_matches_f32(setup):
+    """bf16 policy (runtime.mixed_precision): loss close to f32, params stay
+    f32, grads finite — the Fp16OptimizerHook equivalent (VERDICT item 5)."""
+    model, tx, state = setup
+    batch = make_batch(2)
+    step_f32 = make_train_step(model, tx, mesh=None, donate=False)
+    step_bf16 = make_train_step(model, tx, mesh=None, donate=False,
+                                mixed_precision=True)
+    s32, logs32 = step_f32(state, batch)
+    s16, logs16 = step_bf16(state, batch)
+    l32, l16 = float(logs32["loss"]), float(logs16["loss"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.05
+    # master params stay f32 after the update
+    for leaf in jax.tree_util.tree_leaves(s16.params):
+        assert leaf.dtype == jnp.float32
+    assert float(logs16["grad_norm"]) > 0
