@@ -3,8 +3,12 @@ SURVEY.md §2.3 mmseg-inherited backbones)."""
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from ddp_tpu.nn.mobile_hrnet import (HRNet, MobileNetV2, MobileNetV3, ResNeSt,
                                      UNetBackbone)
+
+pytestmark = pytest.mark.slow
 
 
 def _run(m, size=32):

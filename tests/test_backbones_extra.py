@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ddp_tpu.nn.diffswin import DiffSwinTransformer
 from ddp_tpu.nn.mit import MixVisionTransformer, mit_variant
 from ddp_tpu.nn.resnet import ResNet, resnext

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ddp_tpu.nn.lightweight import (BiSeNetV1, BiSeNetV2, CGNet, ERFNet,
                                     FastSCNN, ICNeck, STDCNet)
 

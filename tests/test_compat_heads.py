@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ddp_tpu.nn.compat_heads import (ASPPHead, DAHead, DPTHead,
                                      DepthwiseSeparableASPPHead, FPNHead,
                                      LRASPPHead, NLHead, OCRHead, PSPHead,

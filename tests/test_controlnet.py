@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ddp_tpu.models.controlnet import (ControlLDM, DDPMSchedule,
                                        add_control_from_sd,
                                        make_ddim_timesteps)

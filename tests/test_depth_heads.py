@@ -4,6 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ddp_tpu.nn.depth_heads import AdabinsHead, DenseDepthHead
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _feats():

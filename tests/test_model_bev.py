@@ -10,6 +10,8 @@ from ddp_tpu.models.bev import DDPBEVCamera
 from ddp_tpu.nn.bev import bev_grid_transform, frustum_grid, lss_geometry
 from ddp_tpu.ops.bev_pool import bev_pool, quantize_geometry
 
+pytestmark = pytest.mark.slow
+
 
 class TestBevPool:
     def test_scatter_sum_matches_numpy(self):

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ddp_tpu import native
 from ddp_tpu.core.diffusion import DiffusionConfig
 from ddp_tpu.models.bev_fusion import DDPBEVFusion

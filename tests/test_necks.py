@@ -2,8 +2,12 @@
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from ddp_tpu.nn.necks import (Feature2Pyramid, HAHINeck, MultiLevelNeck,
                               PSPNeck, SkipNeck)
+
+pytestmark = pytest.mark.slow
 
 
 def _pyramid(b=1, base=16):

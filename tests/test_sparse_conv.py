@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 
 from ddp_tpu import native
+
+pytestmark = pytest.mark.slow
 from ddp_tpu.nn.sparse_conv import (SparseEncoder, build_sparse_encoder_rulebooks,
                                     mean_voxel_features, sparse_conv_gather_gemm)
 

@@ -8,6 +8,8 @@ import pytest
 
 from ddp_tpu.train import torch_import as TI
 
+pytestmark = pytest.mark.slow
+
 
 def to_np(t):
     return t.detach().numpy()
