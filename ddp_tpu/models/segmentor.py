@@ -23,6 +23,8 @@ from flax import linen as nn
 
 from ..core import diffusion as diff
 from ..core.diffusion import DiffusionConfig
+from ..core.schedules import log_snr_to_alpha_sigma
+from ..ops.pallas.q_sample import fused_encode_map, fused_q_sample
 from ..nn.common import ConvModule
 from ..nn.convnext import ConvNeXt, convnext_variant
 from ..nn.fpn import FPN, MultiStageMerging
@@ -84,9 +86,32 @@ class DDPSegmentor(nn.Module):
         return self.neck_merge(feats, train=train)
 
     def encode_map(self, labels: jnp.ndarray) -> jnp.ndarray:
-        """Class-index map [..,] → squashed analog-bits latent [.., C]."""
-        emb = self.embedding_table(labels)
-        return (jax.nn.sigmoid(emb) * 2.0 - 1.0) * self.bit_scale
+        """Class-index map [..,] → squashed analog-bits latent [.., C].
+
+        Runs the fused Pallas kernel on TPU (one-hot MXU lookup + squash in a
+        single VMEM pass; ops/pallas/q_sample.py), XLA gather elsewhere."""
+        table = self.embedding_table.embedding
+        flat = fused_encode_map(labels.reshape(-1), table, self.bit_scale)
+        return flat.reshape(labels.shape + (table.shape[-1],))
+
+    def corrupt_fused(self, rng: jax.Array, labels: jnp.ndarray):
+        """Sample t, fused embed+squash+corrupt of an int label map.
+
+        Returns (x_t [B,h,w,C], log_snr [B]). Same math as
+        diff.corrupt(encode_map(labels)) but embed→squash→corrupt runs as ONE
+        Pallas kernel pass on TPU (ddp.py:149-165 fused)."""
+        t_rng, n_rng = jax.random.split(rng)
+        b, h, w = labels.shape
+        t = diff.sample_times(t_rng, b, self.diffusion.sample_range)
+        log_snr = self.diffusion.log_snr_fn(t)
+        alpha, sigma = log_snr_to_alpha_sigma(log_snr)
+        table = self.embedding_table.embedding
+        noise = jax.random.normal(n_rng, (b * h * w, table.shape[-1]),
+                                  table.dtype)
+        rows = fused_q_sample(labels.reshape(-1), table, self.bit_scale,
+                              jnp.repeat(alpha, h * w),
+                              jnp.repeat(sigma, h * w), noise)
+        return rows.reshape(b, h, w, table.shape[-1]), log_snr
 
     def denoise_logits(
         self, x: jnp.ndarray, mask_t: jnp.ndarray, log_snr: jnp.ndarray,
@@ -128,8 +153,7 @@ class DDPSegmentor(nn.Module):
             gt_down = resize(gt[..., None].astype(jnp.float32), (h, w), mode="nearest")
             gt_down = gt_down[..., 0].astype(jnp.int32)
             gt_down = jnp.where(gt_down == 255, self.num_classes, gt_down)
-            latent = self.encode_map(gt_down)  # [B, h, w, C]
-            noised, log_snr, _t = diff.corrupt(self.diffusion, rng, latent)
+            noised, log_snr = self.corrupt_fused(rng, gt_down)
         logits = self.denoise_logits(x, noised, log_snr, train=train)
 
         full = gt.shape[1:3]
