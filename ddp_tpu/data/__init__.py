@@ -1,0 +1,78 @@
+"""Data layer: datasets, pipelines, batch iterators (SURVEY.md §2.5).
+
+``make_train_iter(cfg)`` is the single factory the training CLI and the
+convergence harness share — it dispatches on (cfg.model.task,
+cfg.data.dataset) the way the reference's registry-built dataloaders do
+(mmseg/apis/train.py:101)."""
+from __future__ import annotations
+
+
+def make_train_iter(cfg):
+    """Build the infinite train batch iterator for a Config."""
+    if cfg.model.task == "bev_fusion":
+        from .bev_datasets import SyntheticFusionDataset, fusion_batch_iterator
+
+        if cfg.data.dataset != "synthetic":
+            raise NotImplementedError(
+                "nuScenes fusion loading needs the lidar sweep files; "
+                "preprocess with tools/prepare_nuscenes.py (synthetic works)")
+        ds = SyntheticFusionDataset(
+            sparse_shape=cfg.model.bev_sparse_shape,
+            caps=cfg.model.bev_voxel_caps,
+            voxel_size=cfg.model.bev_voxel_size,
+            image_size=cfg.model.bev_image_size,
+            out_grid=cfg.model.bev_out_grid,
+            num_classes=cfg.model.num_classes,
+            scope=cfg.model.bev_xbound[1])
+        return fusion_batch_iterator(ds, cfg.data.batch_size,
+                                     seed=cfg.runtime.seed, mean=cfg.data.mean,
+                                     std=cfg.data.std)
+    if cfg.model.task == "bev":
+        from .bev_datasets import (NuScenesBEVDataset, SyntheticBEVDataset,
+                                   bev_batch_iterator)
+
+        if cfg.data.dataset == "synthetic":
+            ds = SyntheticBEVDataset(image_size=cfg.model.bev_image_size,
+                                     out_grid=cfg.model.bev_out_grid,
+                                     num_classes=cfg.model.num_classes,
+                                     scope=cfg.model.bev_xbound[1])
+        else:
+            ds = NuScenesBEVDataset(cfg.data.data_root, "train",
+                                    image_size=cfg.data.crop_size)
+            if len(ds) == 0:
+                raise FileNotFoundError(
+                    f"no nuScenes infos under {cfg.data.data_root}")
+        return bev_batch_iterator(ds, cfg.data.batch_size,
+                                  seed=cfg.runtime.seed, mean=cfg.data.mean,
+                                  std=cfg.data.std)
+    if cfg.model.task == "depth":
+        from .depth_datasets import (DepthDataset, SyntheticDepthDataset,
+                                     depth_batch_iterator)
+
+        if cfg.data.dataset == "synthetic":
+            ds = SyntheticDepthDataset(size=cfg.data.crop_size,
+                                       max_depth=cfg.model.max_depth)
+        else:
+            ds = DepthDataset(cfg.data.data_root, "train", cfg.data.dataset)
+            if len(ds) == 0:
+                raise FileNotFoundError(
+                    f"no data for {cfg.data.dataset} under {cfg.data.data_root}")
+        return depth_batch_iterator(ds, cfg.data.batch_size,
+                                    cfg.data.crop_size, seed=cfg.runtime.seed,
+                                    mean=cfg.data.mean, std=cfg.data.std)
+    # seg (and controlnet uses its own loader)
+    from .seg_datasets import SegDataset, SyntheticSegDataset, seg_batch_iterator
+
+    if cfg.data.dataset == "synthetic":
+        ds = SyntheticSegDataset(num_classes=cfg.model.num_classes,
+                                 size=cfg.data.crop_size)
+    else:
+        ds = SegDataset(cfg.data.data_root, "train", cfg.data.dataset)
+        if len(ds) == 0:
+            raise FileNotFoundError(
+                f"no data found for {cfg.data.dataset} under {cfg.data.data_root}")
+    return seg_batch_iterator(
+        ds, cfg.data.batch_size, cfg.data.crop_size, seed=cfg.runtime.seed,
+        mean=cfg.data.mean, std=cfg.data.std, ratio_range=cfg.data.ratio_range,
+        cat_max_ratio=cfg.data.cat_max_ratio, flip_prob=cfg.data.flip_prob,
+    )

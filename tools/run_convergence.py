@@ -1,0 +1,332 @@
+"""Convergence-proof harness (VERDICT r1 item 1).
+
+Trains the flagship-shaped-but-tiny presets on the synthetic datasets through
+the REAL train() loop, then evaluates with the real multi-step rollout:
+
+  seg          — mIoU at 1/3/10-step DDIM, seed-averaged (the reference's
+                 headline behavior: 3-step >= 1-step, segmentation/README.md:52)
+  seg_aligned  — SelfAlignedDDP fine-tune from the seg checkpoint; the steps
+                 curve should flatten (82.3/82.6/82.6-style)
+  depth        — 9 depth metrics at 1/3-step
+  bev          — BEV map IoU@thresholds with randsteps ensembling
+
+Each experiment writes work_dirs/<name>/result.json; `--publish` merges the
+summary into BASELINE.json's "published" block.
+
+Usage: python tools/run_convergence.py [seg seg_aligned depth bev | all]
+                                       [--publish] [--eval-only]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _setup_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+N_EVAL = 32
+EVAL_BATCH = 8
+SEEDS = (0, 1, 2)
+HELDOUT_BASE = 100_000  # synthetic datasets are seeded by index; train uses [0, length)
+
+
+def _variables_from_state(state):
+    v = {"params": state.params}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    return v
+
+
+def _restore_variables(cfg, workdir=None):
+    """Load the latest checkpoint of a preset into a variables dict."""
+    import jax
+
+    from ddp_tpu.config import build_model
+    from ddp_tpu.train.checkpoint import CheckpointManager
+    from ddp_tpu.train.optim import make_optimizer
+    from ddp_tpu.train.state import TrainState
+
+    model = build_model(cfg.model)
+    if cfg.model.task == "bev":
+        from ddp_tpu.data import make_train_iter
+
+        b = next(make_train_iter(cfg))
+        import jax.numpy as jnp
+
+        args = [jnp.asarray(b[k][:1]) for k in (
+            "image", "cam2lidar_rots", "cam2lidar_trans", "intrins",
+            "post_rots", "post_trans", "label")]
+    else:
+        import jax.numpy as jnp
+
+        h, w = cfg.data.crop_size
+        args = [jnp.zeros((1, h, w, 3)), jnp.zeros(
+            (1, h, w), jnp.int32 if cfg.model.task == "seg" else jnp.float32)]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, *args, train=False)
+    ckpt = CheckpointManager(workdir or cfg.runtime.workdir)
+    if ckpt.latest_step() is None:
+        raise FileNotFoundError(f"no checkpoint in {workdir or cfg.runtime.workdir}")
+    tx = make_optimizer(cfg.optim, variables["params"])
+    tmpl = TrainState.create(variables["params"], tx,
+                             variables.get("batch_stats", {}))
+    state = ckpt.restore(jax.device_get(tmpl))
+    return _variables_from_state(state), int(state.step)
+
+
+def eval_seg(variables, mc, timesteps_list=(1, 3, 10), seeds=SEEDS):
+    """Seed-averaged mIoU of the T-step DDIM rollout on held-out synthetic."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddp_tpu.config import build_model
+    from ddp_tpu.data.pipelines import normalize
+    from ddp_tpu.data.seg_datasets import SyntheticSegDataset
+    from ddp_tpu.evaluation.metrics import SegMetricAccumulator
+
+    ds = SyntheticSegDataset(mc.num_classes, (64, 64))
+    out = {}
+    for T in timesteps_list:
+        mT = build_model(dataclasses.replace(
+            mc, diffusion=dataclasses.replace(mc.diffusion, timesteps=T)))
+
+        @jax.jit
+        def predict(variables, img, rng):
+            return mT.apply(variables, img, method=mT.sample,
+                            rngs={"diffusion": rng})
+
+        mious = []
+        for seed in seeds:
+            acc = SegMetricAccumulator(mc.num_classes)
+            rng = jax.random.PRNGKey(seed)
+            for s0 in range(0, N_EVAL, EVAL_BATCH):
+                imgs, labels = [], []
+                for i in range(s0, s0 + EVAL_BATCH):
+                    s = normalize(ds.load(HELDOUT_BASE + i),
+                                  (123.675, 116.28, 103.53),
+                                  (58.395, 57.12, 57.375))
+                    imgs.append(s["image"])
+                    labels.append(s["label"])
+                probs = predict(variables, jnp.asarray(np.stack(imgs)),
+                                jax.random.fold_in(rng, s0))
+                pred = np.asarray(jnp.argmax(probs, axis=-1))
+                for p, l in zip(pred, labels):
+                    acc.update(p, l)
+            mious.append(acc.compute()["mIoU"])
+        out[f"mIoU@{T}step"] = round(float(np.mean(mious)), 4)
+        out[f"mIoU@{T}step_std"] = round(float(np.std(mious)), 4)
+        print(f"  seg {T}-step: mIoU {out[f'mIoU@{T}step']:.4f} "
+              f"± {out[f'mIoU@{T}step_std']:.4f}", flush=True)
+    return out
+
+
+def eval_depth(variables, mc, timesteps_list=(1, 3), seeds=SEEDS):
+    import jax
+    import jax.numpy as jnp
+
+    from ddp_tpu.config import build_model
+    from ddp_tpu.data.depth_datasets import SyntheticDepthDataset
+    from ddp_tpu.data.pipelines import normalize
+    from ddp_tpu.evaluation.metrics import depth_metrics
+
+    ds = SyntheticDepthDataset((64, 64), max_depth=mc.max_depth)
+    out = {}
+    for T in timesteps_list:
+        mT = build_model(dataclasses.replace(
+            mc, diffusion=dataclasses.replace(mc.diffusion, timesteps=T)))
+
+        @jax.jit
+        def predict(variables, img, rng):
+            return mT.apply(variables, img, method=mT.sample,
+                            rngs={"diffusion": rng})
+
+        rels, rmses, a1s = [], [], []
+        for seed in seeds:
+            rng = jax.random.PRNGKey(seed)
+            preds, gts = [], []
+            for s0 in range(0, N_EVAL, EVAL_BATCH):
+                imgs, labels = [], []
+                for i in range(s0, s0 + EVAL_BATCH):
+                    s = normalize(ds.load(HELDOUT_BASE + i),
+                                  (123.675, 116.28, 103.53),
+                                  (58.395, 57.12, 57.375))
+                    imgs.append(s["image"])
+                    labels.append(s["label"])
+                d = predict(variables, jnp.asarray(np.stack(imgs)),
+                            jax.random.fold_in(rng, s0))
+                preds.append(np.asarray(d))
+                gts.append(np.stack(labels))
+            m = depth_metrics(np.concatenate(preds), np.concatenate(gts))
+            rels.append(m["abs_rel"]); rmses.append(m["rmse"]); a1s.append(m["a1"])
+        out[f"abs_rel@{T}step"] = round(float(np.mean(rels)), 4)
+        out[f"rmse@{T}step"] = round(float(np.mean(rmses)), 4)
+        out[f"a1@{T}step"] = round(float(np.mean(a1s)), 4)
+        print(f"  depth {T}-step: abs_rel {out[f'abs_rel@{T}step']:.4f} "
+              f"rmse {out[f'rmse@{T}step']:.4f} a1 {out[f'a1@{T}step']:.4f}",
+              flush=True)
+    return out
+
+
+def eval_bev(variables, mc, seeds=SEEDS):
+    import jax
+    import jax.numpy as jnp
+
+    from ddp_tpu.config import build_model
+    from ddp_tpu.data.bev_datasets import SyntheticBEVDataset
+
+    from ddp_tpu.evaluation.metrics import bev_map_iou
+
+    ds = SyntheticBEVDataset(image_size=mc.bev_image_size,
+                             out_grid=mc.bev_out_grid,
+                             num_classes=mc.num_classes,
+                             scope=mc.bev_xbound[1])
+    model = build_model(mc)
+    mean = np.asarray((123.675, 116.28, 103.53), np.float32)
+    std = np.asarray((58.395, 57.12, 57.375), np.float32)
+
+    @jax.jit
+    def predict(variables, img, rots, trans, intr, prots, ptrans, rng):
+        return model.apply(variables, img, rots, trans, intr, prots, ptrans,
+                           method=model.sample, rngs={"diffusion": rng})
+
+    out = {}
+    mious = []
+    for seed in seeds:
+        rng = jax.random.PRNGKey(seed)
+        scores, gts = [], []
+        for s0 in range(0, N_EVAL, EVAL_BATCH):
+            batch = {k: [] for k in ("image", "cam2lidar_rots", "cam2lidar_trans",
+                                     "intrins", "post_rots", "post_trans", "label")}
+            for i in range(s0, s0 + EVAL_BATCH):
+                s = ds.load(HELDOUT_BASE + i)
+                s["image"] = (s["image"] - mean) / std
+                for k in batch:
+                    batch[k].append(s[k])
+            arrs = {k: jnp.asarray(np.stack(v)) for k, v in batch.items()}
+            sc = predict(variables, arrs["image"], arrs["cam2lidar_rots"],
+                         arrs["cam2lidar_trans"], arrs["intrins"],
+                         arrs["post_rots"], arrs["post_trans"],
+                         jax.random.fold_in(rng, s0))
+            scores.append(np.asarray(sc))
+            gts.append(np.stack(batch["label"]))
+        sc = np.concatenate(scores).transpose(0, 3, 1, 2)  # [N,K,G,G]
+        gt = np.concatenate(gts).transpose(0, 3, 1, 2)
+        m = bev_map_iou(sc, gt)
+        mious.append(m["mIoU"])
+    out["map_mIoU"] = round(float(np.mean(mious)), 4)
+    out["map_mIoU_std"] = round(float(np.std(mious)), 4)
+    out.update({k: v for k, v in m.items() if k.startswith("iou_")})
+    print(f"  bev: map mIoU {out['map_mIoU']:.4f} ± {out['map_mIoU_std']:.4f}",
+          flush=True)
+    return out
+
+
+def run_experiment(name, eval_only=False, iters=None):
+    import jax
+
+    from ddp_tpu.config import apply_overrides, get_config
+    from ddp_tpu.data import make_train_iter
+    from ddp_tpu.train.loop import train
+
+    preset = {"seg": "converge_seg", "seg_aligned": "converge_seg_aligned",
+              "depth": "converge_depth", "bev": "converge_bev"}[name]
+    cfg = get_config(preset)
+    if iters:
+        cfg = apply_overrides(cfg, {"runtime.total_iters": iters,
+                                    "optim.total_steps": iters})
+    os.makedirs(cfg.runtime.workdir, exist_ok=True)
+    print(f"=== {name} ({preset}) ===", flush=True)
+
+    if eval_only:
+        variables, step = _restore_variables(cfg)
+        print(f"restored step {step}", flush=True)
+    else:
+        init_params = None
+        if name == "seg_aligned":
+            # fine-tune from the converged standard-DDP checkpoint
+            from ddp_tpu.config import get_config as gc
+
+            init_params, step = _restore_variables(gc("converge_seg"))
+            print(f"fine-tuning from converge_seg step {step}", flush=True)
+        it = make_train_iter(cfg)
+        state = train(cfg, it, init_params=init_params)
+        variables = _variables_from_state(jax.device_get(state))
+
+    if name in ("seg", "seg_aligned"):
+        result = eval_seg(variables, cfg.model)
+    elif name == "depth":
+        result = eval_depth(variables, cfg.model)
+    else:
+        result = eval_bev(variables, cfg.model)
+    result["preset"] = preset
+    result["total_iters"] = cfg.runtime.total_iters
+    path = os.path.join(cfg.runtime.workdir, "result.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {path}", flush=True)
+    return result
+
+
+def publish(results):
+    """Merge convergence results into BASELINE.json 'published'."""
+    path = os.path.join(os.path.dirname(__file__), "..", "BASELINE.json")
+    base = json.load(open(path))
+    pub = base.get("published") or {}
+    pub["synthetic_convergence"] = results
+    base["published"] = pub
+    with open(path, "w") as f:
+        json.dump(base, f, indent=2)
+    print(f"published to {path}", flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("experiments", nargs="*", default=["all"])
+    p.add_argument("--publish", action="store_true")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--iters", type=int, default=None,
+                   help="override total_iters (smoke runs)")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    _setup_cache()
+
+    names = args.experiments or ["all"]
+    if names == ["all"] or names == []:
+        names = ["seg", "seg_aligned", "depth", "bev"]
+    results = {}
+    for n in names:
+        results[n] = run_experiment(n, eval_only=args.eval_only,
+                                    iters=args.iters)
+    if args.publish:
+        # fold previously-recorded experiments in too
+        from ddp_tpu.config import get_config
+
+        for n, preset in (("seg", "converge_seg"),
+                          ("seg_aligned", "converge_seg_aligned"),
+                          ("depth", "converge_depth"), ("bev", "converge_bev")):
+            if n not in results:
+                rp = os.path.join(get_config(preset).runtime.workdir,
+                                  "result.json")
+                if os.path.exists(rp):
+                    results[n] = json.load(open(rp))
+        publish(results)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
