@@ -8,7 +8,15 @@ from __future__ import annotations
 
 
 def make_train_iter(cfg):
-    """Build the infinite train batch iterator for a Config."""
+    """Build the infinite train batch iterator for a Config.
+
+    Multi-host: each process gets its rank's slice of every global batch
+    (rank/world from the jax runtime), matching the
+    make_array_from_process_local_data contract in parallel.mesh.shard_batch.
+    """
+    import jax
+
+    rank, world = jax.process_index(), jax.process_count()
     if cfg.model.task == "bev_fusion":
         from .bev_datasets import SyntheticFusionDataset, fusion_batch_iterator
 
@@ -26,7 +34,7 @@ def make_train_iter(cfg):
             scope=cfg.model.bev_xbound[1])
         return fusion_batch_iterator(ds, cfg.data.batch_size,
                                      seed=cfg.runtime.seed, mean=cfg.data.mean,
-                                     std=cfg.data.std)
+                                     std=cfg.data.std, rank=rank, world=world)
     if cfg.model.task == "bev":
         from .bev_datasets import (NuScenesBEVDataset, SyntheticBEVDataset,
                                    bev_batch_iterator)
@@ -44,7 +52,7 @@ def make_train_iter(cfg):
                     f"no nuScenes infos under {cfg.data.data_root}")
         return bev_batch_iterator(ds, cfg.data.batch_size,
                                   seed=cfg.runtime.seed, mean=cfg.data.mean,
-                                  std=cfg.data.std)
+                                  std=cfg.data.std, rank=rank, world=world)
     if cfg.model.task == "depth":
         from .depth_datasets import (DepthDataset, SyntheticDepthDataset,
                                      depth_batch_iterator)
@@ -59,7 +67,8 @@ def make_train_iter(cfg):
                     f"no data for {cfg.data.dataset} under {cfg.data.data_root}")
         return depth_batch_iterator(ds, cfg.data.batch_size,
                                     cfg.data.crop_size, seed=cfg.runtime.seed,
-                                    mean=cfg.data.mean, std=cfg.data.std)
+                                    mean=cfg.data.mean, std=cfg.data.std,
+                                    rank=rank, world=world)
     # seg (and controlnet uses its own loader)
     from .seg_datasets import SegDataset, SyntheticSegDataset, seg_batch_iterator
 
@@ -75,4 +84,5 @@ def make_train_iter(cfg):
         ds, cfg.data.batch_size, cfg.data.crop_size, seed=cfg.runtime.seed,
         mean=cfg.data.mean, std=cfg.data.std, ratio_range=cfg.data.ratio_range,
         cat_max_ratio=cfg.data.cat_max_ratio, flip_prob=cfg.data.flip_prob,
+        rank=rank, world=world,
     )

@@ -219,15 +219,19 @@ class SyntheticFusionDataset(SyntheticBEVDataset):
 
 def fusion_batch_iterator(ds, batch_size: int, seed: int = 0,
                           mean=(123.675, 116.28, 103.53),
-                          std=(58.395, 57.12, 57.375)):
+                          std=(58.395, 57.12, 57.375),
+                          rank: int = 0, world: int = 1):
+    """GLOBAL ``batch_size``; with world > 1 each process yields its slice."""
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
+    assert batch_size % world == 0
+    local = batch_size // world
     epoch, cursor = 0, 0
     while True:
         order = np.random.default_rng(seed + epoch).permutation(len(ds))
         batch = {k: [] for k in FUSION_BATCH_KEYS}
         rb_accum = None
-        for i in range(batch_size):
+        for i in range(rank * local, (rank + 1) * local):
             s = ds.load(int(order[(cursor + i) % len(ds)]))
             s["image"] = (s["image"] - mean) / std
             for k in FUSION_BATCH_KEYS:
@@ -248,15 +252,19 @@ def fusion_batch_iterator(ds, batch_size: int, seed: int = 0,
 
 def bev_batch_iterator(ds, batch_size: int, seed: int = 0,
                        mean=(123.675, 116.28, 103.53),
-                       std=(58.395, 57.12, 57.375)):
-    """Batch iterator over BEV samples (normalizes images)."""
+                       std=(58.395, 57.12, 57.375),
+                       rank: int = 0, world: int = 1):
+    """Batch iterator over BEV samples (normalizes images). ``batch_size`` is
+    GLOBAL; with world > 1 each process yields its rank's slice."""
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
+    assert batch_size % world == 0
+    local = batch_size // world
     epoch, cursor = 0, 0
     while True:
         order = np.random.default_rng(seed + epoch).permutation(len(ds))
         batch = {k: [] for k in BEV_BATCH_KEYS}
-        for i in range(batch_size):
+        for i in range(rank * local, (rank + 1) * local):
             s = ds.load(int(order[(cursor + i) % len(ds)]))
             s["image"] = (s["image"] - mean) / std
             for k in BEV_BATCH_KEYS:

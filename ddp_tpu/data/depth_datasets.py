@@ -108,16 +108,21 @@ class SyntheticDepthDataset:
 def depth_batch_iterator(ds, batch_size: int, crop: Tuple[int, int], seed: int = 0,
                          train: bool = True,
                          mean=(123.675, 116.28, 103.53),
-                         std=(58.395, 57.12, 57.375)):
+                         std=(58.395, 57.12, 57.375),
+                         rank: int = 0, world: int = 1):
     """Depth train iterator: random crop + flip + normalize (the toolbox's
     NYU pipeline: RandomRotate/Crop/Flip/ColorAug — rotation omitted, noted
-    as a fidelity gap)."""
+    as a fidelity gap). ``batch_size`` is GLOBAL; with world > 1 each process
+    yields its rank's slice (see seg_batch_iterator)."""
     from .pipelines import normalize, pad_to, random_flip
+
+    assert batch_size % world == 0
+    local = batch_size // world
 
     def make_batch(epoch, start):
         order = np.random.default_rng(seed + epoch).permutation(len(ds))
         imgs, deps = [], []
-        for i in range(batch_size):
+        for i in range(rank * local, (rank + 1) * local):
             idx = int(order[(start + i) % len(ds)])
             s = ds.load(idx)
             rng = np.random.default_rng((seed, epoch, idx))

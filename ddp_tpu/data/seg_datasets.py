@@ -117,15 +117,22 @@ def seg_batch_iterator(
     img_scale: Optional[Tuple[int, int]] = None, train: bool = True,
     mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375),
     ratio_range=(0.5, 2.0), cat_max_ratio=0.75, flip_prob=0.5,
-    prefetch: int = 2,
+    prefetch: int = 2, rank: int = 0, world: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite (train) batch iterator with background prefetch thread."""
+    """Infinite (train) batch iterator with background prefetch thread.
+
+    ``batch_size`` is GLOBAL. With world > 1 each process yields only its
+    rank's contiguous slice of every global batch (same seed-folded order and
+    per-sample aug streams on every host, so the global batch is consistent —
+    the DistributedSampler equivalent, SURVEY.md §2.6)."""
     img_scale = img_scale or (2048, crop[0])
+    assert batch_size % world == 0
+    local = batch_size // world
 
     def make_batch(epoch: int, start: int) -> Dict[str, np.ndarray]:
         order = np.random.default_rng(seed + epoch).permutation(len(ds))
         imgs, labels = [], []
-        for i in range(batch_size):
+        for i in range(rank * local, (rank + 1) * local):
             idx = int(order[(start + i) % len(ds)])
             sample = ds.load(idx)
             if train:

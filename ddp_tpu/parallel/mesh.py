@@ -51,6 +51,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree onto the mesh, batch-axis sharded."""
+    """Place a host batch pytree onto the mesh, batch-axis sharded.
+
+    Single-process: a plain sharded device_put of the global batch.
+    Multi-process (multi-host TPU): ``batch`` is each process's LOCAL shard
+    (global_batch / process_count rows); the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the TPU-native equivalent of
+    the reference's per-rank DistributedSampler feeding
+    (mmseg/datasets/samplers/distributed_sampler.py:13).
+    """
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch)
+
+
+def local_batch_size(global_batch: int) -> int:
+    """Rows this process must feed per step (global even-split contract)."""
+    pc = jax.process_count()
+    assert global_batch % pc == 0, (
+        f"global batch {global_batch} not divisible by {pc} processes")
+    return global_batch // pc

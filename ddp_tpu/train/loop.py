@@ -26,14 +26,21 @@ from .state import TrainState, make_train_step
 
 
 class MetricLogger:
-    """Text + JSONL logger (TextLoggerHook equivalent)."""
+    """Text + JSONL + TensorBoard-events logger (TextLoggerHook +
+    TensorboardLoggerHook equivalent — reference ddp_nyu/...py:147-153)."""
 
-    def __init__(self, workdir: str, interval: int = 50):
+    def __init__(self, workdir: str, interval: int = 50,
+                 tensorboard: bool = True):
         os.makedirs(workdir, exist_ok=True)
         self.path = os.path.join(workdir, "train_log.jsonl")
         self.interval = interval
         self._t0 = time.time()
         self._last_step = 0
+        self.tb = None
+        if tensorboard:
+            from .events import TBEventWriter
+
+            self.tb = TBEventWriter(os.path.join(workdir, "tf_logs"))
 
     def log(self, step: int, logs: Dict[str, float], lr: float):
         now = time.time()
@@ -43,8 +50,17 @@ class MetricLogger:
         rec.update({k: float(v) for k, v in logs.items()})
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.tb is not None:
+            self.tb.add_scalars(step, {f"train/{k}": v for k, v in rec.items()
+                                       if k != "step"})
         msg = " ".join(f"{k}={v:.4g}" for k, v in rec.items() if k != "step")
         print(f"[step {step}] {msg}", flush=True)
+
+    def log_eval(self, step: int, metrics: Dict[str, float]):
+        if self.tb is not None:
+            self.tb.add_scalars(step, {
+                f"val/{k}": float(v) for k, v in metrics.items()
+                if isinstance(v, (int, float))})
 
 
 def train(
@@ -60,11 +76,20 @@ def train(
     model = build_model(cfg.model)
     rt = cfg.runtime
     if mesh is None:
-        # largest device count that divides the global batch
-        ndev = len(jax.devices())
-        n_data = next(d for d in range(min(ndev, cfg.data.batch_size), 0, -1)
-                      if cfg.data.batch_size % d == 0)
-        mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
+        if jax.process_count() > 1:
+            # multi-host: the mesh MUST span every process's devices — the
+            # shard_batch make_array_from_process_local_data path assembles
+            # the global batch from per-process local shards.
+            assert cfg.data.batch_size % len(jax.devices()) == 0, (
+                f"global batch {cfg.data.batch_size} must divide over "
+                f"{len(jax.devices())} devices on {jax.process_count()} hosts")
+            mesh = make_mesh(devices=jax.devices())
+        else:
+            # largest device count that divides the global batch
+            ndev = len(jax.devices())
+            n_data = next(d for d in range(min(ndev, cfg.data.batch_size), 0, -1)
+                          if cfg.data.batch_size % d == 0)
+            mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
     if cfg.model.task == "bev":
         from ..data.bev_datasets import BEV_BATCH_KEYS as batch_keys
     elif cfg.model.task == "bev_fusion":
@@ -90,7 +115,17 @@ def train(
     state = TrainState.create(variables["params"], tx,
                               variables.get("batch_stats", {}), state_rng)
 
-    ckpt = CheckpointManager(rt.workdir, rt.max_keep_ckpts)
+    ckpt = CheckpointManager(rt.workdir, rt.max_keep_ckpts,
+                             save_best=rt.save_best or None,
+                             best_mode=rt.save_best_mode)
+    # checkpoint meta mirrors the reference's CLASSES/PALETTE embedding
+    # (tools/train.py:221-232) so downstream tools can render predictions
+    from ..data.seg_datasets import NUM_CLASSES, PALETTES
+
+    ckpt_meta = {"config": cfg,
+                 "num_classes": NUM_CLASSES.get(cfg.data.dataset,
+                                                cfg.model.num_classes),
+                 "palette": PALETTES.get(cfg.data.dataset)}
     start_step = 0
     if resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
@@ -99,7 +134,8 @@ def train(
 
     step_fn = make_train_step(model, tx, mesh=mesh, batch_keys=tuple(batch_keys),
                               mixed_precision=rt.mixed_precision)
-    logger = MetricLogger(rt.workdir, rt.log_interval)
+    logger = MetricLogger(rt.workdir, rt.log_interval,
+                          tensorboard=rt.tensorboard)
     from .optim import make_lr_schedule
 
     sched = make_lr_schedule(cfg.optim)
@@ -110,10 +146,15 @@ def train(
         if (step + 1) % rt.log_interval == 0 or step == start_step:
             logger.log(step + 1, jax.device_get(logs), float(sched(step)))
         if (step + 1) % rt.ckpt_interval == 0 or (step + 1) == rt.total_iters:
-            ckpt.save(step + 1, jax.device_get(state), meta={"config": cfg})
+            ckpt.save(step + 1, jax.device_get(state), meta=ckpt_meta)
         if eval_fn is not None and ((step + 1) % rt.eval_interval == 0
                                     or (step + 1) == rt.total_iters):
             metrics = eval_fn(state, step + 1)
+            logger.log_eval(step + 1, metrics)
+            if ckpt.save_best_if(step + 1, jax.device_get(state), metrics,
+                                 meta=ckpt_meta):
+                print(f"[best @ {step + 1}] {rt.save_best}="
+                      f"{metrics.get(rt.save_best)}", flush=True)
             print(f"[eval @ {step + 1}] " +
                   " ".join(f"{k}={v:.4f}" for k, v in metrics.items()
                            if isinstance(v, float)), flush=True)
