@@ -28,6 +28,10 @@ class ModelConfig:
     aux_weight: float = 0.4
     drop_path_rate: float = 0.3
     self_aligned: bool = False
+    decoder_attn: str = "msda"  # 'msda' | 'window' (TPU-native dense)
+    decoder_film: str = "v1"  # 'v1' | 'v2' | 'v3' FiLM layer variant
+    decoder_pos: str = "sine"  # 'sine' | 'learned'
+    depth_head_variant: str = "deform"  # 'deform' | 'upconv' | 'spade'
     decoder_layers: int = 6
     decoder_heads: int = 8
     decoder_ffn_dim: int = 1024
@@ -78,6 +82,10 @@ class RuntimeConfig:
     ckpt_interval: int = 16_000
     eval_interval: int = 16_000
     max_keep_ckpts: int = -1
+    # best-checkpoint tracking (mmcv save_best + rule; '' disables)
+    save_best: str = ""  # metric key, e.g. 'mIoU' or 'abs_rel'
+    save_best_mode: str = "max"  # 'max' | 'min'
+    tensorboard: bool = True  # write events.out.tfevents scalar curves
     seed: int = 0
     workdir: str = "work_dirs/default"
     mixed_precision: bool = True  # bf16 activations on TPU
@@ -418,6 +426,9 @@ def build_model(mc: ModelConfig):
             decoder_layers=mc.decoder_layers,
             decoder_heads=mc.decoder_heads,
             decoder_ffn_dim=mc.decoder_ffn_dim,
+            decoder_attn=mc.decoder_attn,
+            decoder_film=mc.decoder_film,
+            decoder_pos=mc.decoder_pos,
             self_aligned=mc.self_aligned,
         )
     if mc.task == "bev":
@@ -484,6 +495,7 @@ def build_model(mc: ModelConfig):
             decoder_layers=mc.decoder_layers,
             decoder_heads=mc.decoder_heads,
             decoder_ffn_dim=mc.decoder_ffn_dim,
+            head_variant=mc.depth_head_variant,
             max_depth=mc.max_depth,
             min_depth=mc.min_depth,
         )

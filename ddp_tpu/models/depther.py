@@ -44,6 +44,9 @@ class DDPDepther(nn.Module):
     decoder_heads: int = 8
     decoder_ffn_dim: int = 1024
     align_corners: bool = False
+    # 'deform' | 'upconv' (pixel-shuffle 4x output) | 'spade' — the reference's
+    # head zoo (depth/.../deformable_head_with_time.py:21,172,285)
+    head_variant: str = "deform"
 
     def setup(self):
         if self.backbone_type == "swin":
@@ -57,7 +60,7 @@ class DDPDepther(nn.Module):
         self.decode_head = DeformableDepthHead(
             self.embed_dims, num_layers=self.decoder_layers,
             num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim,
-            min_depth=self.min_depth,
+            min_depth=self.min_depth, variant=self.head_variant,
         )
         self.down = ConvModule(self.embed_dims, (1, 1))  # 256+1 -> 256 fusion
         self.time_mlp = TimeMLP(dim=self.embed_dims * 4)
@@ -126,14 +129,20 @@ class DDPDepther(nn.Module):
         for t_now, t_next in self._time_pairs():
             tb = jnp.full((r * b,), t_now, x.dtype)
             pred = self.denoise_depth(xr, depth_t, tb, train=False)
-            x0 = jnp.clip(self.normalize_depth(pred), -self.bit_scale, self.bit_scale)
+            # upconv head predicts at 4x the latent grid; bring the x0
+            # estimate back to latent resolution for the DDIM update
+            pred_lat = (pred if pred.shape[1:3] == (h, w)
+                        else resize(pred, (h, w), mode="bilinear",
+                                    align_corners=self.align_corners))
+            x0 = jnp.clip(self.normalize_depth(pred_lat), -self.bit_scale, self.bit_scale)
             a_now = cosine_gamma(jnp.float32(t_now))
             a_next = cosine_gamma(jnp.float32(t_next))
             eps = (depth_t - jnp.sqrt(a_now) * x0) / jnp.sqrt(
                 jnp.maximum(1.0 - a_now, 1e-8))
             depth_t = jnp.sqrt(a_next) * x0 + jnp.sqrt(1.0 - a_next) * eps
 
-        pred = pred.reshape(r, b, h, w).mean(axis=0)
+        ph, pw = pred.shape[1:3]
+        pred = pred.reshape(r, b, ph, pw).mean(axis=0)
         pred = jnp.clip(pred, self.min_depth, self.max_depth)
         pred = resize(pred[..., None], img.shape[1:3], mode="bilinear",
                       align_corners=self.align_corners)[..., 0]

@@ -51,6 +51,11 @@ class DDPSegmentor(nn.Module):
     # 'msda' = faithful deformable attention; 'window' = TPU-native dense
     # shifted-window attention (no gather; see ops/pallas/msda_notes.md)
     decoder_attn: str = "msda"
+    # FiLM layer variant: 'v1' post | 'v2' pre-norm dual | 'v3' per-norm dual
+    # (ref transformer.py BaseTransformerLayer/V2/V3)
+    decoder_film: str = "v1"
+    # positional encoding: 'sine' | 'learned' (ref transformer.py:34-181)
+    decoder_pos: str = "sine"
     # SelfAlignedDDP training mode (self_aligned_ddp.py:130-185): denoise the
     # model's OWN t=1 prediction instead of the GT latent
     self_aligned: bool = False
@@ -69,7 +74,8 @@ class DDPSegmentor(nn.Module):
         self.decode_head = DeformableHeadWithTime(
             self.num_classes, self.embed_dims, num_layers=self.decoder_layers,
             num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim,
-            attn_type=self.decoder_attn,
+            attn_type=self.decoder_attn, film=self.decoder_film,
+            pos_type=self.decoder_pos,
         )
         self.aux_head = FCNHead(self.num_classes, self.embed_dims)
         # K+1 entries: index num_classes is the ignore/padding class (ddp.py:78)

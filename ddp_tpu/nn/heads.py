@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .common import ConvModule
-from .pos_embed import sine_pos_embed
+from .pos_embed import LearnedPositionalEncoding, sine_pos_embed
 from .transformer import TimeFiLMEncoder, reference_points
 
 
@@ -28,6 +28,16 @@ class DeformableHeadWithTime(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     attn_type: str = "msda"  # 'msda' faithful | 'window' TPU-native dense
+    film: str = "v1"  # 'v1' | 'v2' | 'v3' layer variants
+    pos_type: str = "sine"  # 'sine' | 'learned'
+
+    def _pos(self, h, w, dtype):
+        if self.pos_type == "learned":
+            return LearnedPositionalEncoding(
+                self.embed_dims // 2, row_num_embed=max(50, h),
+                col_num_embed=max(50, w), name="pos_enc")(h, w).astype(dtype)
+        return jnp.asarray(sine_pos_embed(h, w, num_feats=self.embed_dims // 2),
+                           dtype=dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time: Optional[jnp.ndarray],
@@ -38,24 +48,48 @@ class DeformableHeadWithTime(nn.Module):
         """
         b, h, w, c = x.shape
         spatial_shapes = ((h, w),)
-        pos = jnp.asarray(sine_pos_embed(h, w, num_feats=self.embed_dims // 2),
-                          dtype=x.dtype)  # [S, C]
+        pos = self._pos(h, w, x.dtype)  # [S, C]
         refs = jnp.asarray(reference_points(spatial_shapes), dtype=x.dtype)
         q = x.reshape(b, h * w, c)
         q = TimeFiLMEncoder(
             self.num_layers, self.embed_dims, self.num_heads, 1, self.num_points,
             self.ffn_dim, use_time=True, attn_type=self.attn_type,
-            name="encoder",
+            film=self.film, name="encoder",
         )(q, time, pos, refs, spatial_shapes)
         q = q.reshape(b, h, w, c)
         return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(q)
+
+
+def pixel_shuffle(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """NHWC pixel shuffle: [B,H,W,C] → [B,H·s,W·s,C/s²].
+
+    The reference's custom PixelShuffle (depth/.../deformable_head_with_time.py
+    :264-281) uses a nonstandard channel→space permutation; for a from-scratch
+    build the standard depth-to-space layout is used (same capability, no
+    pretrained weights depend on the bit layout)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, scale, scale, c // (scale * scale))
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * scale, w * scale, c // (scale * scale))
 
 
 class DeformableDepthHead(nn.Module):
     """Depth variant of the time-FiLM deformable head: same encoder stack,
     1-channel ``conv_depth`` output with relu + min_depth (scale_up=False,
     use_eps=True — depth/depth/models/decode_heads/decode_head.py:258-270,
-    config depth/configs/ddp_nyu/ddp_swint...py:64-67)."""
+    config depth/configs/ddp_nyu/ddp_swint...py:64-67).
+
+    ``variant``:
+      'deform' — 1x1 conv_depth at encoder resolution (default).
+      'upconv' — SpadeDeformableHeadWithTimeUpConv
+                 (depth/.../deformable_head_with_time.py:285-352): encoder →
+                 pixel-shuffle ×2 → 3x3 conv+ReLU → pixel-shuffle ×2 →
+                 3x3 conv_depth, output at 4× the encoder resolution.
+      'spade'  — SpadeDeformableHeadWithTime (:172-250): same compute as
+                 'deform'; the reference forward also accepts a ``condition``
+                 tensor that its default encoder ignores — accepted here for
+                 signature parity and likewise unused.
+    """
 
     embed_dims: int = 256
     num_layers: int = 6
@@ -64,10 +98,14 @@ class DeformableDepthHead(nn.Module):
     ffn_dim: int = 1024
     min_depth: float = 1e-3
     attn_type: str = "msda"
+    variant: str = "deform"  # 'deform' | 'upconv' | 'spade'
+    film: str = "v1"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time: Optional[jnp.ndarray],
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False,
+                 condition: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        del condition  # parity: accepted, unused (see class docstring)
         b, h, w, c = x.shape
         spatial_shapes = ((h, w),)
         pos = jnp.asarray(sine_pos_embed(h, w, num_feats=self.embed_dims // 2),
@@ -77,10 +115,17 @@ class DeformableDepthHead(nn.Module):
         q = TimeFiLMEncoder(
             self.num_layers, self.embed_dims, self.num_heads, 1, self.num_points,
             self.ffn_dim, use_time=True, attn_type=self.attn_type,
-            name="encoder",
+            film=self.film, name="encoder",
         )(q, time, pos, refs, spatial_shapes)
         q = q.reshape(b, h, w, c)
-        depth = nn.Conv(1, (1, 1), name="conv_depth")(q)
+        if self.variant == "upconv":
+            q = pixel_shuffle(q, 2)  # [B, 2h, 2w, C/4]
+            q = ConvModule(c // 4, (3, 3), act="relu", name="up_conv")(
+                q, train=train)
+            q = pixel_shuffle(q, 2)  # [B, 4h, 4w, C/16]
+            depth = nn.Conv(1, (3, 3), padding="SAME", name="conv_depth")(q)
+        else:
+            depth = nn.Conv(1, (1, 1), name="conv_depth")(q)
         return nn.relu(depth) + self.min_depth
 
 

@@ -37,3 +37,35 @@ def sine_pos_embed(h: int, w: int, num_feats: int = 128, temperature: float = 10
                      ).reshape(h, w, num_feats)
     pos = np.concatenate([pos_y, pos_x], axis=2)  # [h, w, 2*num_feats]
     return pos.reshape(h * w, 2 * num_feats)
+
+
+from flax import linen as nn  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+class LearnedPositionalEncoding(nn.Module):
+    """Learnable row/col position embedding
+    (mmseg transformer.py:124-181 LearnedPositionalEncoding): per-axis
+    embedding tables of size (num_embed, num_feats); each position gets
+    concat(col_embed[x], row_embed[y]) → 2·num_feats channels.
+
+    Returns [h*w, 2*num_feats] (x-features first, matching the reference's
+    cat((x_embed, y_embed), dim=-1))."""
+
+    num_feats: int = 128
+    row_num_embed: int = 50
+    col_num_embed: int = 50
+
+    @nn.compact
+    def __call__(self, h: int, w: int) -> jnp.ndarray:
+        row = nn.Embed(self.row_num_embed, self.num_feats,
+                       embedding_init=nn.initializers.uniform(1.0),
+                       name="row_embed")(jnp.arange(h))
+        col = nn.Embed(self.col_num_embed, self.num_feats,
+                       embedding_init=nn.initializers.uniform(1.0),
+                       name="col_embed")(jnp.arange(w))
+        pos = jnp.concatenate([
+            jnp.tile(col[None, :, :], (h, 1, 1)),
+            jnp.tile(row[:, None, :], (1, w, 1)),
+        ], axis=-1)
+        return pos.reshape(h * w, 2 * self.num_feats)

@@ -68,6 +68,7 @@ class DeformableAttention(nn.Module):
     num_heads: int = 8
     num_levels: int = 1
     num_points: int = 4
+    residual: bool = True  # False: return raw attn output (V2 pre-norm layers)
 
     @nn.compact
     def __call__(
@@ -115,11 +116,21 @@ class DeformableAttention(nn.Module):
 
         out = ms_deform_attn(v, spatial_shapes, loc, weights)
         out = nn.Dense(c, name="output_proj", kernel_init=nn.initializers.xavier_uniform())(out)
-        return identity + out
+        return identity + out if self.residual else out
 
 
 class TimeFiLMEncoderLayer(nn.Module):
-    """Post-norm DETR encoder layer with trailing FiLM time modulation."""
+    """DETR encoder layer with FiLM time modulation, in the reference's three
+    variants (transformer.py BaseTransformerLayer / V2 / V3):
+
+      v1 — post-norm attn→norm→ffn→norm, ONE trailing FiLM
+           (time → SiLU → Linear(4C→2C); query·(scale+1)+shift).
+      v2 — pre-norm: q += FiLM1(attn(norm1(q))); q += FiLM2(ffn(norm2(q)))
+           with a Linear(4C→4C) time MLP chunked (scale1, scale2, shift1,
+           shift2) (transformer.py:609-632).
+      v3 — post-norm like v1, but FiLM after EACH norm with its own
+           scale/shift pair (transformer.py:829-855).
+    """
 
     embed_dims: int = 256
     num_heads: int = 8
@@ -130,6 +141,19 @@ class TimeFiLMEncoderLayer(nn.Module):
     attn_type: str = "msda"  # 'msda' (faithful) | 'window' (TPU-native dense)
     window: int = 8
     shift: int = 0
+    film: str = "v1"  # 'v1' | 'v2' | 'v3'
+
+    def _attn(self, query, query_pos, ref_points, spatial_shapes,
+              residual=True):
+        if self.attn_type == "window":
+            return WindowSelfAttention(
+                self.embed_dims, self.num_heads, self.window, self.shift,
+                residual=residual, name="attn",
+            )(query, query_pos, spatial_shapes[0])
+        return DeformableAttention(
+            self.embed_dims, self.num_heads, self.num_levels, self.num_points,
+            residual=residual, name="attn",
+        )(query, query, query_pos, ref_points, spatial_shapes)
 
     @nn.compact
     def __call__(
@@ -140,20 +164,38 @@ class TimeFiLMEncoderLayer(nn.Module):
         ref_points: jnp.ndarray,
         spatial_shapes: Sequence[Tuple[int, int]],
     ) -> jnp.ndarray:
-        if self.attn_type == "window":
-            query = WindowSelfAttention(
-                self.embed_dims, self.num_heads, self.window, self.shift,
-                name="attn",
-            )(query, query_pos, spatial_shapes[0])
-        else:
-            query = DeformableAttention(
-                self.embed_dims, self.num_heads, self.num_levels, self.num_points,
-                name="attn",
-            )(query, query, query_pos, ref_points, spatial_shapes)
+        timed = self.use_time and time is not None
+        if self.film in ("v2", "v3"):
+            if timed:
+                t = nn.Dense(self.embed_dims * 4, name="time_mlp")(nn.silu(time))
+                s1, s2, sh1, sh2 = jnp.split(t[:, None, :], 4, axis=-1)
+            else:
+                s1 = s2 = sh1 = sh2 = None
+
+            def film(x, s, sh):
+                return x * (s + 1.0) + sh if timed else x
+
+            if self.film == "v2":
+                y = self._attn(nn.LayerNorm(epsilon=1e-5, name="norm1")(query),
+                               query_pos, ref_points, spatial_shapes,
+                               residual=False)
+                query = query + film(y, s1, sh1)
+                y = Mlp(self.ffn_dim, self.embed_dims, act=nn.gelu,
+                        name="ffn")(nn.LayerNorm(epsilon=1e-5, name="norm2")(query))
+                return query + film(y, s2, sh2)
+            # v3: post-norm with per-norm FiLM
+            query = self._attn(query, query_pos, ref_points, spatial_shapes)
+            query = film(nn.LayerNorm(epsilon=1e-5, name="norm1")(query), s1, sh1)
+            query = query + Mlp(self.ffn_dim, self.embed_dims, act=nn.gelu,
+                                name="ffn")(query)
+            return film(nn.LayerNorm(epsilon=1e-5, name="norm2")(query), s2, sh2)
+
+        # v1 (default)
+        query = self._attn(query, query_pos, ref_points, spatial_shapes)
         query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
         query = query + Mlp(self.ffn_dim, self.embed_dims, act=nn.gelu, name="ffn")(query)
         query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query)
-        if self.use_time and time is not None:
+        if timed:
             t = nn.Dense(self.embed_dims * 2, name="time_mlp")(nn.silu(time))
             scale, shift = jnp.split(t[:, None, :], 2, axis=-1)  # [B,1,C] each
             query = query * (scale + 1.0) + shift
@@ -172,6 +214,7 @@ class TimeFiLMEncoder(nn.Module):
     use_time: bool = True
     attn_type: str = "msda"
     window: int = 8
+    film: str = "v1"
 
     @nn.compact
     def __call__(self, query, time, query_pos, ref_points, spatial_shapes):
@@ -179,7 +222,8 @@ class TimeFiLMEncoder(nn.Module):
             query = TimeFiLMEncoderLayer(
                 self.embed_dims, self.num_heads, self.num_levels, self.num_points,
                 self.ffn_dim, self.use_time, self.attn_type, self.window,
-                shift=0 if i % 2 == 0 else self.window // 2, name=f"layer{i}",
+                shift=0 if i % 2 == 0 else self.window // 2, film=self.film,
+                name=f"layer{i}",
             )(query, time, query_pos, ref_points, spatial_shapes)
         return query
 
@@ -195,6 +239,7 @@ class WindowSelfAttention(nn.Module):
     num_heads: int = 8
     window: int = 8
     shift: int = 0
+    residual: bool = True
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, query_pos: Optional[jnp.ndarray],
@@ -238,4 +283,5 @@ class WindowSelfAttention(nn.Module):
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         if pad_h or pad_w:
             y = y[:, :h, :w]
-        return identity + y.reshape(b, s, c)
+        y = y.reshape(b, s, c)
+        return identity + y if self.residual else y
