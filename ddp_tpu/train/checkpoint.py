@@ -17,7 +17,12 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, workdir: str, max_keep: int = -1):
+    def __init__(self, workdir: str, max_keep: int = -1,
+                 save_best: Optional[str] = None, best_mode: str = "max"):
+        """``save_best``: metric key tracked for best-checkpoint keeping
+        (mmcv `save_best='mIoU'` with rule — reference configs/ade/...py:137,
+        ddp_nyu/...py:137-144 `save_best='abs_rel', rule='less'`).
+        ``best_mode``: 'max' (mIoU) or 'min' (abs_rel)."""
         self.dir = os.path.abspath(os.path.join(workdir, "ckpts"))
         os.makedirs(self.dir, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
@@ -25,6 +30,18 @@ class CheckpointManager:
             create=True,
         )
         self.mgr = ocp.CheckpointManager(self.dir, options=options)
+        self.best_key = save_best
+        self.best_mgr = None
+        if save_best:
+            bdir = os.path.abspath(os.path.join(workdir, "ckpts_best"))
+            self.best_mgr = ocp.CheckpointManager(
+                bdir,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, create=True,
+                    best_fn=lambda m: float(m[save_best]),
+                    best_mode=best_mode,
+                ),
+            )
 
     def save(self, step: int, state: Any, meta: Optional[dict] = None):
         args = {"state": ocp.args.StandardSave(state)}
@@ -32,6 +49,33 @@ class CheckpointManager:
             args["meta"] = ocp.args.JsonSave(_jsonable(meta))
         self.mgr.save(step, args=ocp.args.Composite(**args))
         self.mgr.wait_until_finished()
+
+    def save_best_if(self, step: int, state: Any, metrics: dict,
+                     meta: Optional[dict] = None):
+        """Track the best checkpoint by the configured metric. No-op when
+        save_best is unset or the metric is absent from ``metrics``."""
+        if self.best_mgr is None or self.best_key not in metrics:
+            return False
+        args = {"state": ocp.args.StandardSave(state)}
+        if meta is not None:
+            args["meta"] = ocp.args.JsonSave(_jsonable(meta))
+        saved = self.best_mgr.save(
+            step, args=ocp.args.Composite(**args),
+            metrics={self.best_key: float(metrics[self.best_key])})
+        self.best_mgr.wait_until_finished()
+        return bool(saved)
+
+    def best_step(self) -> Optional[int]:
+        return None if self.best_mgr is None else self.best_mgr.best_step()
+
+    def restore_best(self, state_template: Any) -> Any:
+        step = self.best_step()
+        if step is None:
+            raise FileNotFoundError("no best checkpoint recorded")
+        restored = self.best_mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore(state_template))
+        )
+        return restored["state"]
 
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
