@@ -196,26 +196,30 @@ def _dtable_pallas(labels: jnp.ndarray, demb: jnp.ndarray,
 
 
 # --- differentiable public API ------------------------------------------------
+# NOTE: labels cross the custom_vjp boundary as float32, not int32. An int
+# primal input would require a float0 cotangent, and float0 buffers wedge the
+# axon TPU relay backend (measured 2026-08-20: a trivial float0 custom_vjp
+# hangs the device). The f32 round-trip is exact for class indices < 2^24 and
+# its zero cotangent is DCE'd by XLA.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def fused_encode_map(labels: jnp.ndarray, table: jnp.ndarray,
-                     bit_scale: float) -> jnp.ndarray:
-    """Squashed analog-bits latent: (sigmoid(table[labels])·2−1)·bit_scale.
 
-    labels: [N] int32; table: [K, C]. Returns [N, C] in table.dtype.
-    """
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _encode_core(labels_f: jnp.ndarray, bit_scale: float,
+                 table: jnp.ndarray) -> jnp.ndarray:
+    labels = labels_f.astype(jnp.int32)
     if _use_pallas():
         return _encode_pallas(labels, table, bit_scale)
     return encode_map_xla(labels, table, bit_scale)
 
 
-def _encode_fwd(labels, table, bit_scale):
-    out = fused_encode_map(labels, table, bit_scale)
-    return out, (labels, table.shape[0], out)
+def _encode_fwd(labels_f, bit_scale, table):
+    out = _encode_core(labels_f, bit_scale, table)
+    return out, (labels_f, table.shape[0], out)
 
 
 def _encode_bwd(bit_scale, res, g):
-    labels, k, out = res
+    labels_f, k, out = res
+    labels = labels_f.astype(jnp.int32)
     # sig = (out/bit_scale + 1)/2 ; d out/d emb = 2*bit_scale*sig*(1-sig)
     sig = (out.astype(jnp.float32) / bit_scale + 1.0) * 0.5
     demb = g.astype(jnp.float32) * (2.0 * bit_scale) * sig * (1.0 - sig)
@@ -223,35 +227,41 @@ def _encode_bwd(bit_scale, res, g):
         dtable = _dtable_pallas(labels, demb, k)
     else:
         dtable = jax.ops.segment_sum(demb, labels, num_segments=k)
-    dlabels = np.zeros(labels.shape, dtype=jax.dtypes.float0)
-    return dlabels, dtable.astype(g.dtype)
+    return jnp.zeros_like(labels_f), dtable.astype(g.dtype)
 
 
-fused_encode_map.defvjp(_encode_fwd, _encode_bwd)
+_encode_core.defvjp(_encode_fwd, _encode_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def fused_q_sample(labels: jnp.ndarray, table: jnp.ndarray, bit_scale: float,
-                   alpha: jnp.ndarray, sigma: jnp.ndarray,
-                   noise: jnp.ndarray) -> jnp.ndarray:
-    """x_t = alpha·encode(labels) + sigma·noise in ONE kernel pass.
+def fused_encode_map(labels: jnp.ndarray, table: jnp.ndarray,
+                     bit_scale: float) -> jnp.ndarray:
+    """Squashed analog-bits latent: (sigmoid(table[labels])·2−1)·bit_scale.
 
-    labels: [N]; table: [K, C]; alpha, sigma: [N]; noise: [N, C].
+    labels: [N] int; table: [K, C]. Returns [N, C] in table.dtype.
     """
+    return _encode_core(labels.astype(jnp.float32), bit_scale, table)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _qsample_core(labels_f: jnp.ndarray, bit_scale: float, table: jnp.ndarray,
+                  alpha: jnp.ndarray, sigma: jnp.ndarray,
+                  noise: jnp.ndarray) -> jnp.ndarray:
+    labels = labels_f.astype(jnp.int32)
     if _use_pallas():
         return _qsample_pallas(labels, table, bit_scale, alpha, sigma, noise)
     return q_sample_xla(labels, table, bit_scale, alpha, sigma, noise)
 
 
-def _qs_fwd(labels, table, bit_scale, alpha, sigma, noise):
-    x0 = fused_encode_map(labels, table, bit_scale)
+def _qs_fwd(labels_f, bit_scale, table, alpha, sigma, noise):
+    x0 = fused_encode_map(labels_f.astype(jnp.int32), table, bit_scale)
     out = (alpha[:, None].astype(x0.dtype) * x0
            + sigma[:, None].astype(noise.dtype) * noise)
-    return out, (labels, table.shape[0], x0, alpha, sigma, noise)
+    return out, (labels_f, table.shape[0], x0, alpha, sigma, noise)
 
 
 def _qs_bwd(bit_scale, res, g):
-    labels, k, x0, alpha, sigma, noise = res
+    labels_f, k, x0, alpha, sigma, noise = res
+    labels = labels_f.astype(jnp.int32)
     gf = g.astype(jnp.float32)
     x0f = x0.astype(jnp.float32)
     sig = (x0f / bit_scale + 1.0) * 0.5
@@ -263,8 +273,19 @@ def _qs_bwd(bit_scale, res, g):
     dalpha = jnp.sum(gf * x0f, axis=-1).astype(alpha.dtype)
     dsigma = jnp.sum(gf * noise.astype(jnp.float32), axis=-1).astype(sigma.dtype)
     dnoise = (gf * sigma[:, None].astype(jnp.float32)).astype(noise.dtype)
-    dlabels = np.zeros(labels.shape, dtype=jax.dtypes.float0)
-    return dlabels, dtable.astype(jnp.result_type(x0)), dalpha, dsigma, dnoise
+    return (jnp.zeros_like(labels_f), dtable.astype(jnp.result_type(x0)),
+            dalpha, dsigma, dnoise)
 
 
-fused_q_sample.defvjp(_qs_fwd, _qs_bwd)
+_qsample_core.defvjp(_qs_fwd, _qs_bwd)
+
+
+def fused_q_sample(labels: jnp.ndarray, table: jnp.ndarray, bit_scale: float,
+                   alpha: jnp.ndarray, sigma: jnp.ndarray,
+                   noise: jnp.ndarray) -> jnp.ndarray:
+    """x_t = alpha·encode(labels) + sigma·noise in ONE kernel pass.
+
+    labels: [N] int; table: [K, C]; alpha, sigma: [N]; noise: [N, C].
+    """
+    return _qsample_core(labels.astype(jnp.float32), bit_scale, table,
+                         alpha, sigma, noise)

@@ -28,6 +28,8 @@ import numpy as np
 
 
 def _setup_cache():
+    if os.environ.get("DDP_TPU_NO_CACHE"):
+        return
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(
@@ -232,7 +234,8 @@ def eval_bev(variables, mc, seeds=SEEDS):
     return out
 
 
-def run_experiment(name, eval_only=False, iters=None):
+def run_experiment(name, eval_only=False, iters=None, train_only=False,
+                   resume=False):
     import jax
 
     from ddp_tpu.config import apply_overrides, get_config
@@ -260,8 +263,12 @@ def run_experiment(name, eval_only=False, iters=None):
             init_params, step = _restore_variables(gc("converge_seg"))
             print(f"fine-tuning from converge_seg step {step}", flush=True)
         it = make_train_iter(cfg)
-        state = train(cfg, it, init_params=init_params)
+        state = train(cfg, it, init_params=init_params, resume=resume)
         variables = _variables_from_state(jax.device_get(state))
+
+    if train_only:
+        print(f"train-only done for {name}", flush=True)
+        return {"preset": preset, "train_only": True}
 
     if name in ("seg", "seg_aligned"):
         result = eval_seg(variables, cfg.model)
@@ -295,6 +302,8 @@ def main():
     p.add_argument("experiments", nargs="*", default=["all"])
     p.add_argument("--publish", action="store_true")
     p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--train-only", action="store_true")
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--iters", type=int, default=None,
                    help="override total_iters (smoke runs)")
     p.add_argument("--platform", default=None)
@@ -311,7 +320,9 @@ def main():
     results = {}
     for n in names:
         results[n] = run_experiment(n, eval_only=args.eval_only,
-                                    iters=args.iters)
+                                    iters=args.iters,
+                                    train_only=args.train_only,
+                                    resume=args.resume)
     if args.publish:
         # fold previously-recorded experiments in too
         from ddp_tpu.config import get_config
