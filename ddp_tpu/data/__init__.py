@@ -52,7 +52,8 @@ def make_train_iter(cfg):
                     f"no nuScenes infos under {cfg.data.data_root}")
         return bev_batch_iterator(ds, cfg.data.batch_size,
                                   seed=cfg.runtime.seed, mean=cfg.data.mean,
-                                  std=cfg.data.std, rank=rank, world=world)
+                                  std=cfg.data.std, rank=rank, world=world,
+                                  aug=True)
     if cfg.model.task == "depth":
         from .depth_datasets import (DepthDataset, SyntheticDepthDataset,
                                      depth_batch_iterator)

@@ -220,8 +220,14 @@ class SyntheticFusionDataset(SyntheticBEVDataset):
 def fusion_batch_iterator(ds, batch_size: int, seed: int = 0,
                           mean=(123.675, 116.28, 103.53),
                           std=(58.395, 57.12, 57.375),
-                          rank: int = 0, world: int = 1):
-    """GLOBAL ``batch_size``; with world > 1 each process yields its slice."""
+                          rank: int = 0, world: int = 1, aug: bool = False):
+    """GLOBAL ``batch_size``; with world > 1 each process yields its slice.
+
+    ``aug`` applies the image-side 3D augs (ImageAug3D + GridMask). The
+    scene-level GlobalRotScaleTrans is camera-path only here: fusion samples
+    arrive pre-voxelized (rulebooks built host-side in load()), so point
+    augmentation must happen before voxelization — SyntheticFusionDataset
+    draws its own geometry instead."""
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
     assert batch_size % world == 0
@@ -232,7 +238,12 @@ def fusion_batch_iterator(ds, batch_size: int, seed: int = 0,
         batch = {k: [] for k in FUSION_BATCH_KEYS}
         rb_accum = None
         for i in range(rank * local, (rank + 1) * local):
-            s = ds.load(int(order[(cursor + i) % len(ds)]))
+            idx = int(order[(cursor + i) % len(ds)])
+            s = ds.load(idx)
+            if aug:
+                rng = np.random.default_rng((seed, epoch, idx))
+                s = apply_bev_aug(s, rng, scope=getattr(ds, "scope", 50.0),
+                                  use_grst=False)
             s["image"] = (s["image"] - mean) / std
             for k in FUSION_BATCH_KEYS:
                 if k == "rulebooks":
@@ -250,12 +261,46 @@ def fusion_batch_iterator(ds, batch_size: int, seed: int = 0,
             cursor, epoch = 0, epoch + 1
 
 
+def apply_bev_aug(s, rng, scope, image_aug=True, use_gridmask=True,
+                  use_grst=True, grst_rot=0.3, grst_scale=(0.95, 1.05),
+                  grst_trans=0.2):
+    """Train-time 3D aug on one BEV sample (ImageAug3D + GridMask +
+    GlobalRotScaleTrans with mask resampling) — transforms_3d.py parity ops
+    plugged into the loader (VERDICT r1 item 7)."""
+    from .transforms_3d import (ImageAug3DConfig, global_rot_scale_trans,
+                                grid_mask, image_aug_3d, rotate_bev_masks)
+
+    if image_aug:
+        h, w = s["image"].shape[1:3]
+        cfg = ImageAug3DConfig(final_dim=(h, w), resize_lim=(0.95, 1.1),
+                               bot_pct_lim=(0.0, 0.05), rot_lim=(-5.4, 5.4),
+                               rand_flip=False)
+        s["image"], s["post_rots"], s["post_trans"] = image_aug_3d(
+            s["image"], s["post_rots"], s["post_trans"], rng, cfg,
+            is_train=True)
+    if use_gridmask:
+        s["image"] = grid_mask(s["image"], rng, prob=0.3)
+    if use_grst:
+        pts, T = global_rot_scale_trans(
+            rng, s.get("points"), resize_lim=grst_scale,
+            rot_lim=(-grst_rot, grst_rot), trans_lim=grst_trans)
+        if pts is not None:
+            s["points"] = pts
+        # compose cam->lidar into the augmented lidar frame
+        s["cam2lidar_rots"] = np.einsum("ij,njk->nik", T[:3, :3],
+                                        s["cam2lidar_rots"])
+        s["cam2lidar_trans"] = s["cam2lidar_trans"] @ T[:3, :3].T + T[:3, 3]
+        s["label"] = rotate_bev_masks(s["label"], T, scope)
+    return s
+
+
 def bev_batch_iterator(ds, batch_size: int, seed: int = 0,
                        mean=(123.675, 116.28, 103.53),
                        std=(58.395, 57.12, 57.375),
-                       rank: int = 0, world: int = 1):
+                       rank: int = 0, world: int = 1, aug: bool = False):
     """Batch iterator over BEV samples (normalizes images). ``batch_size`` is
-    GLOBAL; with world > 1 each process yields its rank's slice."""
+    GLOBAL; with world > 1 each process yields its rank's slice. ``aug``
+    enables the ImageAug3D/GridMask/GlobalRotScaleTrans train pipeline."""
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
     assert batch_size % world == 0
@@ -265,7 +310,11 @@ def bev_batch_iterator(ds, batch_size: int, seed: int = 0,
         order = np.random.default_rng(seed + epoch).permutation(len(ds))
         batch = {k: [] for k in BEV_BATCH_KEYS}
         for i in range(rank * local, (rank + 1) * local):
-            s = ds.load(int(order[(cursor + i) % len(ds)]))
+            idx = int(order[(cursor + i) % len(ds)])
+            s = ds.load(idx)
+            if aug:
+                rng = np.random.default_rng((seed, epoch, idx))
+                s = apply_bev_aug(s, rng, scope=getattr(ds, "scope", 50.0))
             s["image"] = (s["image"] - mean) / std
             for k in BEV_BATCH_KEYS:
                 batch[k].append(s[k])
