@@ -38,6 +38,9 @@ class ModelConfig:
     # depth-specific
     max_depth: float = 10.0
     min_depth: float = 1e-3
+    # controlnet-specific (SD 1.5 defaults; 'tiny' scales for synthetic runs)
+    cn_size: str = "sd15"  # 'sd15' | 'tiny'
+    cn_image_size: int = 512
     # bev-specific (defaults = the reference camera-bev256d2 geometry)
     bev_image_size: Tuple[int, int] = (256, 704)
     bev_out_grid: int = 200
@@ -328,6 +331,35 @@ PRESETS["converge_bev"] = lambda: Config(
                           workdir="work_dirs/converge_bev"),
 )
 
+PRESETS["converge_controlnet"] = lambda: Config(
+    name="converge_controlnet",
+    model=ModelConfig(task="controlnet", cn_size="tiny", cn_image_size=64),
+    data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=8),
+    optim=OptimConfig(lr=2e-4, grad_clip=1.0, total_steps=600,
+                      warmup_steps=50, schedule="cosine",
+                      custom_keys=()),
+    runtime=RuntimeConfig(total_iters=600, log_interval=50, ckpt_interval=300,
+                          eval_interval=10_000, max_keep_ckpts=1,
+                          workdir="work_dirs/converge_controlnet"),
+)
+
+# Full SD 1.5 ControlNet fine-tune (tutorial_train.py: lr 1e-5, sd locked —
+# the frozen stack is expressed as lr_mult 0 optimizer rules)
+PRESETS["controlnet_sd15"] = lambda: Config(
+    name="controlnet_sd15",
+    model=ModelConfig(task="controlnet", cn_size="sd15", cn_image_size=512),
+    data=DataConfig(dataset="fill50k", data_root="data/fill50k",
+                    crop_size=(512, 512), batch_size=4),
+    optim=OptimConfig(lr=1e-5, grad_clip=1.0, total_steps=100_000,
+                      schedule="constant", warmup_steps=0,
+                      custom_keys=(("diffusion_model", (0.0, 0.0)),
+                                   ("first_stage_model", (0.0, 0.0)),
+                                   ("cond_stage_model", (0.0, 0.0)))),
+    runtime=RuntimeConfig(total_iters=100_000, ckpt_interval=5000,
+                          eval_interval=1_000_000,
+                          workdir="work_dirs/controlnet_sd15"),
+)
+
 # tiny CPU-runnable smoke preset
 PRESETS["smoke"] = lambda: Config(
     name="smoke",
@@ -482,6 +514,17 @@ def build_model(mc: ModelConfig):
             lidar_dense_hw=mc.bev_lidar_dense_hw,
             lidar_dense_z=mc.bev_lidar_dense_z,
         )
+    if mc.task == "controlnet":
+        from .models.controlnet import ControlNetTrainer
+        from .nn.unet import UNetConfig
+
+        if mc.cn_size == "tiny":
+            return ControlNetTrainer(unet=UNetConfig().tiny(), clip_width=64,
+                                     clip_layers=2, clip_vocab=512,
+                                     vae_ch=16, vae_ch_mult=(1, 2, 2, 4),
+                                     vae_nrb=1)  # 3 downsamples -> 8x like SD
+        return ControlNetTrainer(unet=UNetConfig())
+
     if mc.task == "depth":
         from .models.depther import DDPDepther
 

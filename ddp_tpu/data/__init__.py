@@ -17,6 +17,17 @@ def make_train_iter(cfg):
     import jax
 
     rank, world = jax.process_index(), jax.process_count()
+    if cfg.model.task == "controlnet":
+        from .controlnet_data import SyntheticFill50k, controlnet_batch_iterator
+
+        if cfg.data.dataset != "synthetic":
+            raise NotImplementedError(
+                "real fill50k needs the downloaded PNG pairs; the synthetic "
+                "generator covers the training-path contract")
+        ds = SyntheticFill50k(size=cfg.model.cn_image_size)
+        return controlnet_batch_iterator(ds, cfg.data.batch_size,
+                                         seed=cfg.runtime.seed,
+                                         rank=rank, world=world)
     if cfg.model.task == "bev_fusion":
         from .bev_datasets import SyntheticFusionDataset, fusion_batch_iterator
 

@@ -1,0 +1,104 @@
+"""ControlNet training data — fill50k-style synthetic circles + toy tokenizer.
+
+Parity target: controlnet/tutorial_dataset.py (fill50k: source = circle
+outline, target = color-filled circle on colored background, prompt
+"<fill color> circle with <background color> background"). The real dataset
+is 50k rendered PNG pairs; this procedural equivalent renders the same
+structure on the fly so the ControlLDM training loop (tutorial_train.py)
+runs end-to-end without downloads.
+
+Images follow the SD convention: target in [-1, 1], hint in [0, 1]
+(ldm/models/diffusion/ddpm.py get_input; cldm.py:314-326).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+
+# color name → RGB, the prompt vocabulary's content words
+COLORS: List[Tuple[str, Tuple[int, int, int]]] = [
+    ("red", (220, 40, 40)), ("green", (40, 200, 60)), ("blue", (50, 80, 230)),
+    ("yellow", (230, 220, 50)), ("cyan", (60, 220, 220)),
+    ("magenta", (220, 60, 220)), ("white", (240, 240, 240)),
+    ("orange", (240, 150, 40)), ("purple", (140, 60, 200)),
+    ("teal", (40, 140, 140)),
+]
+
+# toy word-level tokenizer: CLIP-style special tokens + fixed vocabulary
+_WORDS = (["<start>", "<end>", "<pad>", "circle", "with", "background"]
+          + [name for name, _ in COLORS])
+VOCAB: Dict[str, int] = {w: i for i, w in enumerate(_WORDS)}
+MAX_LEN = 77
+
+
+def tokenize(prompt: str, max_len: int = MAX_LEN) -> np.ndarray:
+    """Word-level CLIP-like tokenization: <start> words <end> <pad>*."""
+    ids = [VOCAB["<start>"]]
+    for w in prompt.lower().split():
+        ids.append(VOCAB.get(w, VOCAB["<pad>"]))
+    ids.append(VOCAB["<end>"])
+    ids = ids[:max_len]
+    ids += [VOCAB["<pad>"]] * (max_len - len(ids))
+    return np.asarray(ids, np.int32)
+
+
+class SyntheticFill50k:
+    """Procedural fill50k: (hint = outline, image = filled, prompt)."""
+
+    def __init__(self, size: int = 64, length: int = 1000,
+                 max_len: int = MAX_LEN):
+        self.size = size
+        self.length = length
+        self.max_len = max_len
+
+    def __len__(self):
+        return self.length
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(idx)
+        s = self.size
+        fill_i, bg_i = rng.choice(len(COLORS), 2, replace=False)
+        fill_name, fill_rgb = COLORS[fill_i]
+        bg_name, bg_rgb = COLORS[bg_i]
+        cx, cy = rng.uniform(0.3, 0.7, 2) * s
+        rad = rng.uniform(0.15, 0.35) * s
+
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        dist = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+        inside = dist < rad
+        ring = np.abs(dist - rad) < max(1.0, s / 64.0)
+
+        target = np.empty((s, s, 3), np.float32)
+        target[:] = np.asarray(bg_rgb, np.float32)
+        target[inside] = np.asarray(fill_rgb, np.float32)
+        hint = np.zeros((s, s, 3), np.float32)
+        hint[ring] = 255.0
+
+        prompt = f"{fill_name} circle with {bg_name} background"
+        return {
+            "image": (target / 127.5 - 1.0).astype(np.float32),  # [-1, 1]
+            "hint": (hint / 255.0).astype(np.float32),  # [0, 1]
+            "ids": tokenize(prompt, self.max_len),
+        }
+
+
+def controlnet_batch_iterator(
+    ds, batch_size: int, seed: int = 0, rank: int = 0, world: int = 1,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite iterator over (image, hint, ids) batches. GLOBAL batch_size;
+    with world > 1 each process yields its rank's slice."""
+    assert batch_size % world == 0
+    local = batch_size // world
+    epoch, cursor = 0, 0
+    while True:
+        order = np.random.default_rng(seed + epoch).permutation(len(ds))
+        batch = {"image": [], "hint": [], "ids": []}
+        for i in range(rank * local, (rank + 1) * local):
+            sample = ds.load(int(order[(cursor + i) % len(ds)]))
+            for k in batch:
+                batch[k].append(sample[k])
+        yield {k: np.stack(v) for k, v in batch.items()}
+        cursor += batch_size
+        if cursor >= len(ds):
+            cursor, epoch = 0, epoch + 1

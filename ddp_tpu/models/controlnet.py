@@ -90,16 +90,22 @@ class ControlLDM(nn.Module):
     scale_factor: float = 0.18215
     clip_width: int = 768
     clip_layers: int = 12
+    clip_vocab: int = 49408
+    vae_ch: int = 128
+    vae_ch_mult: tuple = (1, 2, 4, 4)
+    vae_nrb: int = 2
     only_mid_control: bool = False
 
     def setup(self):
         cfg = self.unet or UNetConfig()
         self.diffusion_model = UNetModel(cfg)
         self.control_model = ControlNet(cfg, self.hint_channels)
-        self.first_stage_model = AutoencoderKL(embed_dim=cfg.in_channels)
+        self.first_stage_model = AutoencoderKL(
+            embed_dim=cfg.in_channels, ch=self.vae_ch,
+            ch_mult=self.vae_ch_mult, num_res_blocks=self.vae_nrb)
         self.cond_stage_model = CLIPTextEncoder(
             width=self.clip_width, layers=self.clip_layers,
-            heads=max(1, self.clip_width // 64))
+            heads=max(1, self.clip_width // 64), vocab_size=self.clip_vocab)
         self.schedule = DDPMSchedule()
 
     def encode_first_stage(self, img: jnp.ndarray,
@@ -221,3 +227,46 @@ def add_control_from_sd(sd_params: Dict, control_init: Dict) -> Dict:
         if key in sd and key in control:
             control[key] = jax.tree_util.tree_map(lambda x: x, sd[key])
     return control
+
+
+class ControlNetTrainer(nn.Module):
+    """Train-loop adapter for ControlLDM — the tutorial_train.py equivalent.
+
+    Matches the framework's (batch..., train=) step contract and draws the
+    diffusion rng from the module rng stream. The reference freezes the SD
+    UNet/VAE/CLIP and trains only the ControlNet (`sd_locked`,
+    tutorial_train.py:14-16 + cldm.py configure_optimizers:416-424); the
+    same effect here is optimizer-side: set optim.custom_keys lr_mult 0 for
+    'diffusion_model', 'first_stage_model', 'cond_stage_model' (see the
+    'controlnet_sd15' preset). The synthetic fill50k demo trains the whole
+    stack from scratch instead.
+    """
+
+    unet: UNetConfig = None  # type: ignore[assignment]
+    hint_channels: int = 3
+    clip_width: int = 768
+    clip_layers: int = 12
+    clip_vocab: int = 49408
+    vae_ch: int = 128
+    vae_ch_mult: tuple = (1, 2, 4, 4)
+    vae_nrb: int = 2
+
+    def setup(self):
+        self.ldm = ControlLDM(unet=self.unet, hint_channels=self.hint_channels,
+                              clip_width=self.clip_width,
+                              clip_layers=self.clip_layers,
+                              clip_vocab=self.clip_vocab,
+                              vae_ch=self.vae_ch,
+                              vae_ch_mult=self.vae_ch_mult,
+                              vae_nrb=self.vae_nrb)
+
+    def __call__(self, img, hint, ids, train: bool = True):
+        rng = self.make_rng("diffusion")
+        out = self.ldm(rng, img, hint, ids)
+        return out["loss"], {"loss": out["loss"]}
+
+    def sample(self, hint, ids, uncond_ids, steps: int = 20,
+               guidance_scale: float = 9.0):
+        rng = self.make_rng("diffusion")
+        return self.ldm.sample(rng, hint, ids, uncond_ids, steps=steps,
+                               guidance_scale=guidance_scale)

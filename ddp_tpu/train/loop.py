@@ -90,7 +90,9 @@ def train(
             n_data = next(d for d in range(min(ndev, cfg.data.batch_size), 0, -1)
                           if cfg.data.batch_size % d == 0)
             mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
-    if cfg.model.task == "bev":
+    if cfg.model.task == "controlnet":
+        batch_keys = ("image", "hint", "ids")
+    elif cfg.model.task == "bev":
         from ..data.bev_datasets import BEV_BATCH_KEYS as batch_keys
     elif cfg.model.task == "bev_fusion":
         from ..data.bev_datasets import FUSION_BATCH_KEYS as batch_keys

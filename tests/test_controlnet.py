@@ -152,3 +152,30 @@ def test_ema_update():
     # warmup: d = min(0.9999, 2/11)
     np.testing.assert_allclose(np.asarray(state[0]["w"]),
                                np.full((4,), 2.0 / 11.0), rtol=1e-6)
+
+
+def test_controlnet_trainer_step_and_data():
+    """tutorial_train.py equivalent: the fill50k synthetic batch through the
+    framework train step (ControlNetTrainer adapter)."""
+    import numpy as np
+
+    from ddp_tpu.config import build_model, get_config
+    from ddp_tpu.data import make_train_iter
+    from ddp_tpu.train.optim import make_optimizer
+    from ddp_tpu.train.state import TrainState, make_train_step
+
+    cfg = get_config("converge_controlnet")
+    model = build_model(cfg.model)
+    it = make_train_iter(cfg)
+    batch = next(it)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["image"][:1]), jnp.asarray(batch["hint"][:1]),
+        jnp.asarray(batch["ids"][:1]), train=False)
+    tx = make_optimizer(cfg.optim, variables["params"])
+    state = TrainState.create(variables["params"], tx, {}, jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, mesh=None, donate=False,
+                           batch_keys=("image", "hint", "ids"))
+    state, logs = step(state, {k: jnp.asarray(v[:2]) for k, v in batch.items()})
+    assert np.isfinite(float(logs["loss"]))
+    assert int(state.step) == 1
