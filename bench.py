@@ -1,11 +1,19 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Metric: 3-step DDIM denoise inference throughput on the flagship ADE20K
-Swin-T DDPSegmentor at 512x512 (BASELINE.json config #1), in images/sec on
-the local chip. ``vs_baseline`` compares against the reference's only
-comparable published context (no throughput numbers exist in the reference —
-SURVEY.md §6 — so the baseline is our own first recorded number; see
-BASELINE_BENCH.json once recorded).
+Headline: 3-step DDIM inference throughput of the flagship ADE20K Swin-T
+DDPSegmentor at 512x512 in img/s/chip, measured at the SAME configuration as
+BASELINE_BENCH.json (f32, batch 4) so ``vs_baseline`` is apples-to-apples
+(VERDICT r1 weak #1). Additional rows ride in the same JSON object:
+
+  rows.f32_b4 / rows.bf16_b4 / rows.bf16_b8  — inference img/s/chip
+  rows.window_bf16_b8                        — TPU-native dense decoder path
+  train.steps_per_s / train.img_per_s        — full train step (fwd+bwd+adamw,
+                                               bf16 policy), the north-star
+                                               steps/sec/chip (BASELINE.json)
+
+All timings are deltas of on-device ``fori_loop`` dispatches (a scalar
+checksum is the only host transfer) — the only method that measures real
+chip time through the relay. BENCH_MODE=quick runs the headline row only.
 """
 import json
 import os
@@ -20,79 +28,145 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
+def _model(attn="msda"):
     from ddp_tpu.core.diffusion import DiffusionConfig
     from ddp_tpu.models.segmentor import DDPSegmentor
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    size = int(os.environ.get("BENCH_SIZE", "512"))
-    # bf16 inference is the production TPU configuration (params cast once,
-    # LayerNorm statistics stay f32 inside flax); BENCH_DTYPE=f32 reproduces
-    # the round-1 f32 baseline.
-    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
-        os.environ.get("BENCH_DTYPE", "bf16")]
-    model = DDPSegmentor(
-        num_classes=150,
-        backbone_type="swin",
-        backbone_variant="tiny",
+    return DDPSegmentor(
+        num_classes=150, backbone_type="swin", backbone_variant="tiny",
         diffusion=DiffusionConfig(timesteps=3, randsteps=1, accumulation=True),
-        drop_path_rate=0.0,
+        drop_path_rate=0.0, decoder_attn=attn,
     )
-    img = jnp.zeros((batch, size, size, 3), dtype)
-    gt = jnp.zeros((batch, size, size), jnp.int32)
-    variables = model.init(
+
+
+def _init_variables(model, size):
+    img = jnp.zeros((1, size, size, 3), jnp.float32)
+    gt = jnp.zeros((1, size, size), jnp.int32)
+    return model.init(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
-         "dropout": jax.random.PRNGKey(2)},
-        img[:1].astype(jnp.float32), gt[:1], train=False,
-    )
-    variables = jax.tree_util.tree_map(
+         "dropout": jax.random.PRNGKey(2)}, img, gt, train=False)
+
+
+def _cast(variables, dtype):
+    return jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables)
+
+
+def _timed_loop(fn, *args, iters=10):
+    """Delta-timed on-device loop: per-iteration seconds."""
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(fn(*args, n))
+        return time.perf_counter() - t0
+
+    timed(1)  # compile + warmup
+    t_small = timed(2)
+    t_big = timed(2 + iters)
+    return max((t_big - t_small) / iters, 1e-9)
+
+
+def bench_infer(model, variables, batch, size, dtype):
+    img = jnp.zeros((batch, size, size, 3), dtype)
+    variables = _cast(variables, dtype)
 
     @jax.jit
     def forward_n(variables, img, rng, n):
-        """Run n full 3-step DDIM inferences on-device inside ONE dispatch.
-
-        A scalar checksum is the only host transfer, so relay/tunnel
-        overhead (arg upload, async dispatch) stays out of the timed delta.
-        n is a traced scalar -> fori_loop -> single compilation.
-        """
-
         def body(i, acc):
-            out = model.apply(variables, img,
-                              method=model.sample,
+            out = model.apply(variables, img, method=model.sample,
                               rngs={"diffusion": jax.random.fold_in(rng, i)})
             return acc + jnp.sum(out).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    rng = jax.random.PRNGKey(7)
+    per_iter = _timed_loop(forward_n, variables, img,
+                           jax.random.PRNGKey(7),
+                           iters=int(os.environ.get("BENCH_ITERS", "10")))
+    return batch / per_iter
 
-    def timed(n):
-        t0 = time.perf_counter()
-        float(forward_n(variables, img, rng, n))
-        return time.perf_counter() - t0
 
-    timed(1)  # warmup / compile
-    n_small, n_big = 2, 2 + int(os.environ.get("BENCH_ITERS", "10"))
-    t_small = timed(n_small)
-    t_big = timed(n_big)
-    per_iter = max((t_big - t_small) / (n_big - n_small), 1e-9)
-    img_per_s = batch / per_iter
+def bench_train(size=512, batch=8):
+    """Full train step (fwd+bwd+clip+AdamW, bf16 policy) steps/sec/chip."""
+    from ddp_tpu.train.optim import OptimConfig, make_optimizer
+    from ddp_tpu.train.state import TrainState, make_train_step
 
+    model = _model()
+    variables = _init_variables(model, size)
+    tx = make_optimizer(OptimConfig(total_steps=1000, warmup_steps=0),
+                        variables["params"])
+    state = TrainState.create(variables["params"], tx,
+                              variables.get("batch_stats", {}),
+                              jax.random.PRNGKey(3))
+    raw_step = make_train_step(model, tx, mesh=None, donate=False,
+                               mixed_precision=True, jit=False)
+    batch_dev = {
+        "image": jnp.zeros((batch, size, size, 3), jnp.float32),
+        "label": jnp.zeros((batch, size, size), jnp.int32),
+    }
+
+    @jax.jit
+    def train_n(state, batch, n):
+        def body(i, st):
+            st2, _ = raw_step(st, batch)
+            return st2
+
+        st = jax.lax.fori_loop(0, n, body, state)
+        return st.step  # scalar host transfer only
+
+    per_iter = _timed_loop(train_n, state, batch_dev, iters=5)
+    return 1.0 / per_iter, batch / per_iter
+
+
+def main():
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    quick = os.environ.get("BENCH_MODE", "full") == "quick"
+
+    model = _model()
+    variables = _init_variables(model, size)
+
+    rows = {}
+    rows["f32_b4"] = round(bench_infer(model, variables, 4, size,
+                                       jnp.float32), 3)
+    if not quick:
+        rows["bf16_b4"] = round(bench_infer(model, variables, 4, size,
+                                            jnp.bfloat16), 3)
+        rows["bf16_b8"] = round(bench_infer(model, variables, 8, size,
+                                            jnp.bfloat16), 3)
+        try:
+            wmodel = _model(attn="window")
+            wvars = _init_variables(wmodel, size)
+            rows["window_bf16_b8"] = round(
+                bench_infer(wmodel, wvars, 8, size, jnp.bfloat16), 3)
+        except Exception as e:  # window path must not sink the bench
+            rows["window_bf16_b8"] = f"error: {type(e).__name__}"
+        try:
+            steps_s, img_s = bench_train(size, batch=8)
+            train_row = {"steps_per_s": round(steps_s, 4),
+                         "img_per_s": round(img_s, 3)}
+        except Exception as e:
+            train_row = {"error": type(e).__name__}
+    else:
+        train_row = None
+
+    headline = rows["f32_b4"]
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_BENCH.json")
     vs = 1.0
     if os.path.exists(baseline_path):
         try:
             base = json.load(open(baseline_path))["value"]
-            vs = img_per_s / base
+            vs = headline / base
         except Exception:
             pass
-    print(json.dumps({
-        "metric": "ddim3_infer_img_per_s_swin_t_512",
-        "value": round(img_per_s, 3),
+    out = {
+        "metric": "ddim3_infer_img_per_s_swin_t_512_f32_b4",
+        "value": headline,
         "unit": "img/s/chip",
         "vs_baseline": round(vs, 3),
-    }))
+        "rows": rows,
+    }
+    if train_row is not None:
+        out["train"] = train_row
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

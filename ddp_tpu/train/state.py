@@ -53,6 +53,7 @@ def make_train_step(
     donate: bool = True,
     batch_keys: Tuple[str, ...] = ("image", "label"),
     mixed_precision: bool = False,
+    jit: bool = True,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted train step. ``model`` is a flax module whose __call__
     returns (loss, logs) given the batch values named by ``batch_keys``
@@ -115,6 +116,10 @@ def make_train_step(
         )
         return new_state, logs
 
+    if not jit:
+        # raw step for callers that embed it in a larger jitted program
+        # (e.g. bench.py's on-device multi-step fori_loop)
+        return step_fn
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

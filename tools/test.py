@@ -17,6 +17,10 @@ def parse_args():
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--limit", type=int, default=None, help="max eval images")
     p.add_argument("--seed", type=int, default=0, help="diffusion eval seed")
+    p.add_argument("--seeds", type=int, default=1,
+                   help="average metrics over N diffusion seeds (the "
+                        "reference warns results vary with diffusion "
+                        "randomness, segmentation/README.md:94)")
     p.add_argument("--set", nargs="*", default=[], metavar="K=V")
     p.add_argument("--platform", default=None)
     return p.parse_args()
@@ -112,19 +116,28 @@ def main():
         print(" | ".join(f"{k} {v:.4f}" for k, v in m.items()) + f"  (n={n})")
         return
 
-    acc = SegMetricAccumulator(cfg.model.num_classes)
-    for i in range(n):
-        s = ds.load(i)
-        s = normalize(s, cfg.data.mean, cfg.data.std)
-        probs = predict(variables, jnp.asarray(s["image"][None]),
-                        jax.random.fold_in(rng, i))
-        pred = np.argmax(np.asarray(probs[0]), -1)
-        acc.update(pred, s["label"])
-        if (i + 1) % 50 == 0:
-            print(f"eval {i + 1}/{n}", flush=True)
-    m = acc.compute()
-    print(f"aAcc {m['aAcc'] * 100:.2f} | mIoU {m['mIoU'] * 100:.2f} | "
-          f"mAcc {m['mAcc'] * 100:.2f}  (n={n})")
+    per_seed = []
+    for si in range(args.seeds):
+        rng_s = jax.random.PRNGKey(args.seed + si)
+        acc = SegMetricAccumulator(cfg.model.num_classes)
+        for i in range(n):
+            s = ds.load(i)
+            s = normalize(s, cfg.data.mean, cfg.data.std)
+            probs = predict(variables, jnp.asarray(s["image"][None]),
+                            jax.random.fold_in(rng_s, i))
+            pred = np.argmax(np.asarray(probs[0]), -1)
+            acc.update(pred, s["label"])
+            if (i + 1) % 50 == 0:
+                print(f"[seed {args.seed + si}] eval {i + 1}/{n}", flush=True)
+        m = acc.compute()
+        per_seed.append(m)
+        print(f"[seed {args.seed + si}] aAcc {m['aAcc'] * 100:.2f} | "
+              f"mIoU {m['mIoU'] * 100:.2f} | mAcc {m['mAcc'] * 100:.2f}"
+              f"  (n={n})")
+    if args.seeds > 1:
+        mious = [m["mIoU"] for m in per_seed]
+        print(f"seed-averaged mIoU {np.mean(mious) * 100:.2f} "
+              f"± {np.std(mious) * 100:.2f} over {args.seeds} seeds")
 
 
 if __name__ == "__main__":
