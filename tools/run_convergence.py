@@ -243,6 +243,7 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
     from ddp_tpu.train.loop import train
 
     preset = {"seg": "converge_seg", "seg_aligned": "converge_seg_aligned",
+              "seg_window": "converge_seg_window",
               "depth": "converge_depth", "bev": "converge_bev"}[name]
     cfg = get_config(preset)
     if iters:
@@ -270,7 +271,7 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
         print(f"train-only done for {name}", flush=True)
         return {"preset": preset, "train_only": True}
 
-    if name in ("seg", "seg_aligned"):
+    if name in ("seg", "seg_aligned", "seg_window"):
         result = eval_seg(variables, cfg.model)
     elif name == "depth":
         result = eval_depth(variables, cfg.model)
@@ -329,6 +330,7 @@ def main():
 
         for n, preset in (("seg", "converge_seg"),
                           ("seg_aligned", "converge_seg_aligned"),
+                          ("seg_window", "converge_seg_window"),
                           ("depth", "converge_depth"), ("bev", "converge_bev")):
             if n not in results:
                 rp = os.path.join(get_config(preset).runtime.workdir,
