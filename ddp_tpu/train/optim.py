@@ -37,12 +37,19 @@ class OptimConfig:
         ("head", (1.0, 1.0)),
     )
     # schedule
-    schedule: str = "poly"  # 'poly' | 'cosine' | 'constant'
+    schedule: str = "poly"  # 'poly' | 'cosine' | 'constant' | 'cyclic'
     total_steps: int = 160_000
     warmup_steps: int = 1500
     warmup_ratio: float = 1e-6
     power: float = 1.0
     min_lr: float = 0.0
+    # cyclic (one-cycle) knobs — the BEV schedule (bev/configs/nuscenes/
+    # seg/default.yaml lr_config/momentum_config: target_ratio (10, 1e-4),
+    # step_ratio_up 0.4, cyclic momentum (0.8947, 1) around b1)
+    cyclic_target_ratio: Tuple[float, float] = (10.0, 1e-4)
+    cyclic_step_ratio_up: float = 0.4
+    cyclic_momentum: bool = True
+    cyclic_momentum_ratio: Tuple[float, float] = (0.8947368421, 1.0)
     # layer-wise lr decay (reference LearningRateDecayOptimizerConstructor,
     # mmseg/core/optimizers/layer_decay_optimizer_constructor.py:103 — shipped
     # by the reference but unused by DDP configs). None disables.
@@ -128,9 +135,43 @@ def make_lr_schedule(cfg: OptimConfig):
             lr = cfg.min_lr + 0.5 * (cfg.lr - cfg.min_lr) * (1.0 + jnp.cos(jnp.pi * prog))
         elif cfg.schedule == "constant":
             lr = jnp.asarray(cfg.lr)
+        elif cfg.schedule == "cyclic":
+            # one-cycle: lr -> lr*r_up over the up phase, then anneal
+            # (cosine) to lr*r_down; no extra warmup (the up phase IS it)
+            r_up, r_down = cfg.cyclic_target_ratio
+            up = cfg.cyclic_step_ratio_up
+            peak, floor = cfg.lr * r_up, cfg.lr * r_down
+            up_frac = jnp.clip(prog / up, 0.0, 1.0)
+            down_frac = jnp.clip((prog - up) / max(1.0 - up, 1e-8), 0.0, 1.0)
+            lr_up = cfg.lr + (peak - cfg.lr) * 0.5 * (
+                1.0 - jnp.cos(jnp.pi * up_frac))
+            lr_down = floor + (peak - floor) * 0.5 * (
+                1.0 + jnp.cos(jnp.pi * down_frac))
+            lr = jnp.where(prog < up, lr_up, lr_down)
+            return lr  # cyclic ignores the linear warmup multiplier
         else:
             raise ValueError(f"unknown schedule {cfg.schedule!r}")
         return lr * warm_mult
+
+    return sched
+
+
+def make_momentum_schedule(cfg: OptimConfig):
+    """Cyclic b1 schedule, inverse-phased to the lr (mmcv
+    CyclicMomentumUpdaterHook semantics: momentum dips while lr peaks)."""
+    b1 = cfg.betas[0]
+    r_down, r_up = cfg.cyclic_momentum_ratio  # e.g. (0.8947, 1.0)
+    up = cfg.cyclic_step_ratio_up
+
+    def sched(step):
+        prog = jnp.clip(jnp.asarray(step, jnp.float32) / cfg.total_steps,
+                        0.0, 1.0)
+        low, high = b1 * r_down, b1 * r_up
+        up_frac = jnp.clip(prog / up, 0.0, 1.0)
+        down_frac = jnp.clip((prog - up) / max(1.0 - up, 1e-8), 0.0, 1.0)
+        m_up = high + (low - high) * 0.5 * (1.0 - jnp.cos(jnp.pi * up_frac))
+        m_down = high + (low - high) * 0.5 * (1.0 + jnp.cos(jnp.pi * down_frac))
+        return jnp.where(prog < up, m_up, m_down)
 
     return sched
 
@@ -160,15 +201,24 @@ def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
 
         return optax.GradientTransformation(init, update)
 
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(
+    if cfg.schedule == "cyclic" and cfg.cyclic_momentum:
+        m_sched = make_momentum_schedule(cfg)
+        adamw = optax.inject_hyperparams(
+            lambda learning_rate, b1: optax.adamw(
+                learning_rate=learning_rate, b1=b1, b2=cfg.betas[1],
+                eps=1e-8, weight_decay=cfg.weight_decay, mask=decay_mask)
+        )(learning_rate=sched, b1=m_sched)
+    else:
+        adamw = optax.adamw(
             learning_rate=sched,
             b1=cfg.betas[0],
             b2=cfg.betas[1],
             eps=1e-8,
             weight_decay=cfg.weight_decay,
             mask=decay_mask,
-        ),
+        )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        adamw,
         scale_by_lr_mult(),
     )

@@ -141,3 +141,43 @@ def test_mixed_precision_bf16_matches_f32(setup):
     for leaf in jax.tree_util.tree_leaves(s16.params):
         assert leaf.dtype == jnp.float32
     assert float(logs16["grad_norm"]) > 0
+
+
+def test_cyclic_lr_and_momentum_schedule():
+    """BEV one-cycle schedule (bev seg/default.yaml lr_config +
+    momentum_config): lr rises to lr*10 at 40% then anneals to lr*1e-4;
+    b1 dips inversely while lr peaks."""
+    from ddp_tpu.train.optim import make_momentum_schedule
+
+    cfg = OptimConfig(lr=1e-4, schedule="cyclic", total_steps=1000,
+                      cyclic_target_ratio=(10.0, 1e-4),
+                      cyclic_step_ratio_up=0.4)
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(sched(400)) == pytest.approx(1e-3, rel=1e-3)  # peak lr*10
+    assert float(sched(1000)) == pytest.approx(1e-8, rel=1e-2)  # lr*1e-4
+    assert float(sched(200)) > float(sched(0))
+    m = make_momentum_schedule(cfg)
+    b1 = cfg.betas[0]
+    assert float(m(0)) == pytest.approx(b1, rel=1e-3)
+    assert float(m(400)) == pytest.approx(b1 * 0.8947368421, rel=1e-3)
+    assert float(m(1000)) == pytest.approx(b1, rel=1e-3)
+
+
+def test_cyclic_optimizer_steps(setup):
+    """The cyclic chain (inject_hyperparams momentum) must update params."""
+    model, _, state = setup
+    cfg = OptimConfig(lr=1e-3, schedule="cyclic", total_steps=100,
+                      grad_clip=1.0)
+    tx = make_optimizer(cfg, state.params)
+    st = TrainState.create(state.params, tx, state.batch_stats,
+                           jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, mesh=None, donate=False)
+    batch = make_batch(2)
+    st2, logs = step(st, batch)
+    assert np.isfinite(float(logs["loss"]))
+    # params moved
+    moved = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(st.params),
+        jax.tree_util.tree_leaves(st2.params)))
+    assert moved > 0
