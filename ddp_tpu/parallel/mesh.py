@@ -68,6 +68,14 @@ def shard_batch(mesh: Mesh, batch):
         batch)
 
 
+def token_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a [B, S, C] token tensor: batch over 'data', tokens over
+    'model' — the decoder's spatial-sharding axis (SURVEY.md §5: deform-attn
+    sampling is local after the value gather, so the token dim shards
+    halo-free; GSPMD inserts the small one-level feature all_gather)."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+
+
 def local_batch_size(global_batch: int) -> int:
     """Rows this process must feed per step (global even-split contract)."""
     pc = jax.process_count()
