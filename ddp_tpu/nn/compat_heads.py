@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -603,3 +604,54 @@ class DPTHead(nn.Module):
         if self.mode == "depth":
             return nn.relu(out) + self.min_depth
         return out
+
+
+def point_uncertainty(logits: jnp.ndarray) -> jnp.ndarray:
+    """PointRend uncertainty: −(top1 − top2) of the class logits
+    (mmseg point_head.py calculate_uncertainty)."""
+    top2 = jax.lax.top_k(logits, 2)[0]
+    return top2[..., 1] - top2[..., 0]
+
+
+class PointHead(nn.Module):
+    """PointRend refinement head (mmseg point_head.py:40-349), TPU-static.
+
+    Cascade head: upsample the previous head's coarse logits to the fine
+    feature grid, pick the K most-uncertain pixels (STATIC K — the dynamic
+    subdivision loop becomes one fixed-size top-k pass), refine each with a
+    shared MLP over [fine feature ; coarse logits] (the reference's conv1d
+    stack with coarse_pred_each_layer=True), and scatter the refined logits
+    back into the grid.
+    """
+
+    num_classes: int
+    fc_channels: int = 256
+    num_fcs: int = 3
+    point_fraction: float = 1.0 / 16.0  # K = fraction of the fine grid
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray],
+                 prev_logits: jnp.ndarray, train: bool = False):
+        fine = feats[0]  # finest level
+        b, h, w, c = fine.shape
+        coarse = resize(prev_logits, (h, w), mode="bilinear")
+        k = max(1, int(h * w * self.point_fraction))
+
+        unc = point_uncertainty(coarse).reshape(b, h * w)
+        _, idx = jax.lax.top_k(unc, k)  # [B, K] flat indices
+
+        fine_flat = fine.reshape(b, h * w, c)
+        coarse_flat = coarse.reshape(b, h * w, self.num_classes)
+        take = lambda x: jnp.take_along_axis(
+            x, idx[..., None].repeat(x.shape[-1], -1), axis=1)
+        x = take(fine_flat)  # [B, K, C]
+        cpts = take(coarse_flat)  # [B, K, K_cls]
+        for i in range(self.num_fcs):
+            x = jnp.concatenate([x, cpts], axis=-1)
+            x = nn.relu(nn.Dense(self.fc_channels, name=f"fc{i}")(x))
+        refined = nn.Dense(self.num_classes, name="fc_seg")(x)  # [B, K, Kc]
+
+        out = coarse_flat
+        bidx = jnp.arange(b)[:, None]
+        out = out.at[bidx, idx].set(refined)
+        return out.reshape(b, h, w, self.num_classes)

@@ -239,3 +239,36 @@ class HAHINeck(nn.Module):
                 jnp.concatenate([f, piece], axis=-1), train=train)
             outs.append(fused)
         return tuple(outs)
+
+
+class JPU(nn.Module):
+    """Joint Pyramid Upsampling neck (FastFCN; mmseg necks/jpu.py:12-135):
+    per-level 3x3 conv → upsample all to the finest → concat → parallel
+    depthwise-separable convs at dilations (1,2,4,8) → concat.
+
+    Returns the untouched lower levels + the fused finest map, matching the
+    reference's (inputs[:-3..], concat_feat) output contract reduced to the
+    fused map appended after the start_level passthroughs."""
+
+    mid_channels: int = 512
+    dilations: Sequence[int] = (1, 2, 4, 8)
+    start_level: int = 0
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
+        from .compat_heads import DepthwiseSeparableConv
+
+        feats = []
+        for i in range(self.start_level, len(inputs)):
+            f = ConvModule(self.mid_channels, (3, 3), norm="BN", act="relu",
+                           name=f"conv{i}")(inputs[i], train=train)
+            feats.append(f)
+        target = feats[0].shape[1:3]
+        feats = [feats[0]] + [resize(f, target, mode="bilinear")
+                              for f in feats[1:]]
+        feat = jnp.concatenate(feats, axis=-1)
+        outs = [DepthwiseSeparableConv(self.mid_channels, dilation=d,
+                                       name=f"dil{d}")(feat, train=train)
+                for d in self.dilations]
+        fused = jnp.concatenate(outs, axis=-1)
+        return tuple(inputs[:self.start_level]) + (fused,)

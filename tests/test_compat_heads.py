@@ -101,3 +101,41 @@ def test_heads_train_mode_with_dropout():
                      rngs={"dropout": jax.random.PRNGKey(1)},
                      mutable=["batch_stats"])[0]
     assert out.shape == (1, 16, 16, K)
+
+
+def test_point_head_refines_uncertain_points():
+    """PointRend cascade head: output differs from the coarse upsample only
+    at refined points; shape contract holds."""
+    import jax as _jax
+    import numpy as np
+
+    from ddp_tpu.nn.compat_heads import PointHead, point_uncertainty
+    from ddp_tpu.ops.resize import resize as _resize
+
+    b, h, w, c, k = 1, 8, 8, 16, 4
+    rng = np.random.RandomState(0)
+    fine = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    prev = jnp.asarray(rng.randn(b, 4, 4, k), jnp.float32)
+    head = PointHead(num_classes=k, fc_channels=8, num_fcs=2,
+                     point_fraction=0.25)
+    v = head.init({"params": _jax.random.PRNGKey(0)}, [fine], prev)
+    out = head.apply(v, [fine], prev)
+    assert out.shape == (b, h, w, k)
+    coarse = np.asarray(_resize(prev, (h, w), mode="bilinear"))
+    changed = (np.abs(np.asarray(out) - coarse).sum(-1) > 1e-6).sum()
+    assert changed == int(h * w * 0.25)  # exactly K refined pixels
+    # uncertainty: most-ambiguous logits get the most-negative score
+    u = np.asarray(point_uncertainty(jnp.asarray(
+        [[2.0, 1.9, 0.0], [5.0, 0.0, 0.0]])))
+    assert u[0] > u[1]
+
+
+def test_jpu_neck():
+    from ddp_tpu.nn.necks import JPU
+
+    feats = [jnp.ones((1, 16, 16, 8)), jnp.ones((1, 8, 8, 16)),
+             jnp.ones((1, 4, 4, 32))]
+    m = JPU(mid_channels=8, dilations=(1, 2))
+    v = m.init({"params": jax.random.PRNGKey(0)}, feats, train=False)
+    outs = m.apply(v, feats, train=False)
+    assert outs[-1].shape == (1, 16, 16, 16)  # len(dilations) * mid
