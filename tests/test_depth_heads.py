@@ -95,3 +95,43 @@ def test_window_attention_decoder_variant():
                   rngs={"diffusion": jax.random.PRNGKey(4)})
     assert out.shape == (1, 32, 32, 5)
     assert np.isfinite(float(loss))
+
+
+def _pyr(b=1, base=16):
+    return [jnp.ones((b, 16, 16, base)), jnp.ones((b, 8, 8, base * 2)),
+            jnp.ones((b, 4, 4, base * 4)), jnp.ones((b, 2, 2, base * 8))]
+
+
+def test_bts_head_lpg():
+    from ddp_tpu.nn.depth_heads import BTSHead, local_planar_guidance
+
+    m = BTSHead(max_depth=10.0, channels=16)
+    v = m.init({"params": jax.random.PRNGKey(0)}, _pyr(), train=False)
+    d = m.apply(v, _pyr(), train=False)
+    assert d.shape == (1, 16, 16, 1)
+    assert float(d.min()) >= 1e-3 and float(d.max()) <= 10.0
+    # LPG of a fronto-parallel plane (n=(0,0,1), dist=2) is constant 2
+    pe = jnp.zeros((1, 2, 2, 4)).at[..., 2].set(1.0).at[..., 3].set(2.0)
+    out = local_planar_guidance(pe, 4)
+    np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-6)
+
+
+def test_newcrf_head():
+    from ddp_tpu.nn.depth_heads import NeWCRFHead
+
+    m = NeWCRFHead(max_depth=10.0, channels=16)
+    v = m.init({"params": jax.random.PRNGKey(0)}, _pyr(), train=False)
+    d = m.apply(v, _pyr(), train=False)
+    assert d.shape == (1, 16, 16, 1)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_binsformer_head():
+    from ddp_tpu.nn.depth_heads import BinsFormerHead
+
+    m = BinsFormerHead(max_depth=10.0, n_bins=8, channels=16, dec_layers=1)
+    v = m.init({"params": jax.random.PRNGKey(0)}, _pyr(), train=False)
+    d = m.apply(v, _pyr(), train=False)
+    assert d.shape == (1, 16, 16, 1)
+    dd = np.asarray(d)
+    assert (dd >= 1e-3).all() and (dd <= 10.0).all()
