@@ -320,8 +320,10 @@ PRESETS["converge_depth"] = lambda: Config(
                       bit_scale=0.1, max_depth=10.0,
                       diffusion=DiffusionConfig(timesteps=3, accumulation=False)),
     data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=16),
-    optim=OptimConfig(lr=3e-4, grad_clip=1.0, total_steps=1500,
-                      warmup_steps=100, schedule="cosine"),
+    # relu+eps depth output dies at aggressive lr (zero grads observed at
+    # 3e-4); 1e-4 with a longer warmup keeps the head alive
+    optim=OptimConfig(lr=1e-4, grad_clip=1.0, total_steps=1500,
+                      warmup_steps=300, schedule="cosine"),
     runtime=RuntimeConfig(total_iters=1500, log_interval=100, ckpt_interval=500,
                           eval_interval=10_000, max_keep_ckpts=1,
                           workdir="work_dirs/converge_depth"),
