@@ -1,0 +1,954 @@
+"""Compat decode-head zoo, part II — the remaining inherited mmseg heads.
+
+Completes the reference's ~30-head surface (SURVEY.md §2.3;
+segmentation/mmseg/models/decode_heads/) beyond `compat_heads.py`:
+
+  ANNHead       (ann_head.py)       — asymmetric non-local (AFNB + APNB)
+  APCHead       (apc_head.py)       — adaptive pyramid context (ACM)
+  CCHead        (cc_head.py)        — criss-cross attention ×2 (mmcv CUDA op
+                                      → exact dense axial-attention einsums)
+  DMHead        (dm_head.py)        — dynamic multi-scale filters (DCM)
+  DNLHead       (dnl_head.py)       — disentangled non-local (whitened + unary)
+  EMAHead       (ema_head.py)       — expectation-maximization attention
+  EncHead       (enc_head.py)       — context encoding + SE-loss logits
+  GCHead        (gc_head.py)        — global context block
+  ISAHead       (isa_head.py)       — interlaced sparse self-attention
+  KNetHead      (knet_head.py)      — iterative kernel update (K-Net)
+  PSAHead       (psa_head.py)       — point-wise spatial attention (compact
+                                      form; the mmcv PSAMask CUDA op becomes a
+                                      static [HW, HW] einsum)
+  SegmenterMaskHead (segmenter_mask_head.py) — class-token mask transformer
+  SepFCNHead    (sep_fcn_head.py)   — Fast-SCNN depthwise-separable FCN
+  STDCHead      (stdc_head.py)      — FCN over boundary targets (+ the
+                                      laplacian boundary-target generator)
+
+TPU-native redesigns, not translations: every CUDA op the reference imports
+(CrissCrossAttention, PSAMask, Encoding) is re-derived as a dense static-shape
+einsum/matmul formulation that XLA tiles onto the MXU; EM iterations run as a
+`lax.fori_loop` under `stop_gradient`; EMA bases live in `batch_stats` so the
+momentum update rides the existing sync machinery. All heads take a list of
+NHWC feature maps and return logits at their working resolution.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.resize import resize
+from .common import ConvModule
+from .compat_heads import (DepthwiseSeparableConv, SegHeadOut,
+                           _adaptive_avg_pool)
+from .vit import ViTBlock
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+
+class _TokenConvModule(nn.Module):
+    """1x1-conv ConvModule applied to a token tensor [b, N, C] (a 1x1 conv on
+    flattened spatial samples is a Dense; BN reduces over (b, N))."""
+
+    features: int
+    norm: Optional[str] = "BN"
+    act: Optional[str] = "relu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(self.features, use_bias=self.norm is None)(x)
+        if self.norm in ("BN", "SyncBN"):
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5)(x)
+        elif self.norm == "LN":
+            x = nn.LayerNorm(epsilon=1e-5)(x)
+        if self.act == "relu":
+            x = nn.relu(x)
+        return x
+
+
+class _SABlock(nn.Module):
+    """mmseg SelfAttentionBlock on token tensors (utils/self_attention_block
+    .py): projected q/k, scaled softmax over keys, value aggregation.
+
+    query/key inputs are [b, Nq, Cq] / [b, Nk, Ck]; all 1x1-conv projections
+    become Dense layers on the feature axis.
+    """
+
+    channels: int
+    out_channels: int
+    num_qk_convs: int = 1
+    share_key_query: bool = False
+    with_out: bool = True  # extra plain projection after aggregation
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        def project(x, name):
+            for i in range(self.num_qk_convs):
+                x = _TokenConvModule(self.channels,
+                                     name=f"{name}{i}")(x, train=train)
+            return x
+
+        q = project(query, "query")
+        k = q if self.share_key_query and query is key else project(key, "key")
+        v_dim = self.channels if self.with_out else self.out_channels
+        v = nn.Dense(v_dim, name="value")(key)
+        attn = jnp.einsum("bqc,bkc->bqk", q, k) * (self.channels ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        ctx = jnp.einsum("bqk,bkc->bqc", attn, v)
+        if self.with_out:
+            ctx = nn.Dense(self.out_channels, name="out")(ctx)
+        return ctx
+
+
+def _ppm_concat(x: jnp.ndarray,
+                pool_scales: Sequence[int] = (1, 3, 6, 8)) -> jnp.ndarray:
+    """ann_head.py PPMConcat: adaptive-pool at each scale, flatten, concat
+    along the sample axis → [b, sum(s²), C]."""
+    b, _, _, c = x.shape
+    outs = [_adaptive_avg_pool(x, s).reshape(b, s * s, c)
+            for s in pool_scales]
+    return jnp.concatenate(outs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# ANNHead
+# ---------------------------------------------------------------------------
+
+
+class ANNHead(nn.Module):
+    """Asymmetric non-local head (ann_head.py:ANNHead): AFNB fuses the last
+    two levels (query = high, pyramid-pooled key/value = low), then a 3x3
+    bottleneck and APNB self-attention with pyramid-pooled keys."""
+
+    num_classes: int
+    channels: int = 512
+    project_channels: int = 256
+    key_pool_scales: Sequence[int] = (1, 3, 6, 8)
+    norm: str = "BN"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        low, high = feats[-2], feats[-1]
+        b, h, w, c_high = high.shape
+        # AFNB: query = high pixels, key/value = pooled low samples
+        q_tokens = high.reshape(b, h * w, c_high)
+        k_tokens = _ppm_concat(low, self.key_pool_scales)
+        ctx = _SABlock(self.project_channels, c_high, num_qk_convs=1,
+                       name="afnb")(q_tokens, k_tokens, train=train)
+        fused = _TokenConvModule(c_high, norm=self.norm, act=None,
+                                 name="afnb_bottleneck")(
+            jnp.concatenate([ctx, q_tokens], axis=-1), train=train)
+        y = fused.reshape(b, h, w, c_high)
+        if self.dropout > 0:
+            y = nn.Dropout(self.dropout)(y, deterministic=not train)
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="bottleneck")(y, train=train)
+        # APNB: self-attention with pyramid-pooled keys
+        q2 = y.reshape(b, h * w, self.channels)
+        k2 = _ppm_concat(y, self.key_pool_scales)
+        ctx2 = _SABlock(self.project_channels, self.channels,
+                        num_qk_convs=1, name="apnb")(q2, k2, train=train)
+        y2 = _TokenConvModule(self.channels, norm=self.norm, act="relu",
+                              name="apnb_bottleneck")(
+            jnp.concatenate([ctx2, q2], axis=-1), train=train)
+        y2 = y2.reshape(b, h, w, self.channels)
+        return SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y2, train=train)
+
+
+# ---------------------------------------------------------------------------
+# APCHead
+# ---------------------------------------------------------------------------
+
+
+class _ACM(nn.Module):
+    """Adaptive context module (apc_head.py:ACM): sigmoid affinity between
+    every pixel and an s×s pooled context, guided by the global vector."""
+
+    pool_scale: int
+    channels: int
+    fusion: bool = True
+    norm: str = "BN"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, h, w, _ = x.shape
+        s = self.pool_scale
+        pooled = _adaptive_avg_pool(x, s)
+        pooled = ConvModule(self.channels, (1, 1), norm=self.norm, act="relu",
+                            name="pooled_redu")(pooled, train=train)
+        xr = ConvModule(self.channels, (1, 1), norm=self.norm, act="relu",
+                        name="input_redu")(x, train=train)
+        gi = ConvModule(self.channels, (1, 1), norm=self.norm, act="relu",
+                        name="global_info")(
+            jnp.mean(xr, axis=(1, 2), keepdims=True), train=train)
+        affinity = nn.Conv(s * s, (1, 1), name="gla")(xr + gi)
+        affinity = jax.nn.sigmoid(affinity.reshape(b, h * w, s * s))
+        z = jnp.einsum("bqs,bsc->bqc", affinity,
+                       pooled.reshape(b, s * s, self.channels))
+        z = z.reshape(b, h, w, self.channels)
+        z = ConvModule(self.channels, (1, 1), norm=self.norm, act="relu",
+                       name="residual")(z, train=train)
+        z = nn.relu(z + xr)
+        if self.fusion:
+            z = ConvModule(self.channels, (1, 1), norm=self.norm, act="relu",
+                           name="fusion")(z, train=train)
+        return z
+
+
+class APCHead(nn.Module):
+    """Adaptive pyramid context head (apc_head.py:APCHead): ACM at each pool
+    scale, concat with input, 3x3 bottleneck."""
+
+    num_classes: int
+    channels: int = 512
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    fusion: bool = True
+    norm: str = "BN"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = feats[-1]
+        outs = [x] + [
+            _ACM(s, self.channels, self.fusion, self.norm,
+                 name=f"acm{s}")(x, train=train) for s in self.pool_scales]
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="bottleneck")(jnp.concatenate(outs, axis=-1),
+                                          train=train)
+        return SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y, train=train)
+
+
+# ---------------------------------------------------------------------------
+# DMHead
+# ---------------------------------------------------------------------------
+
+
+class _DCM(nn.Module):
+    """Dynamic convolutional module (dm_head.py:DCM): a per-sample depthwise
+    filter generated from the s×s pooled feature. The reference folds batch
+    into channels and calls grouped conv2d; here the fold is the same but
+    expressed as one NHWC depthwise conv with feature_group_count=b*c."""
+
+    filter_size: int
+    channels: int
+    fusion: bool = False
+    norm: str = "BN"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        fs = self.filter_size
+        filt = nn.Conv(self.channels, (1, 1), name="filter_gen")(
+            _adaptive_avg_pool(x, fs))  # [b, fs, fs, C]
+        xr = ConvModule(self.channels, (1, 1), norm=self.norm, act="relu",
+                        name="input_redu")(x, train=train)
+        b, h, w, c = xr.shape
+        merged = xr.transpose(1, 2, 0, 3).reshape(1, h, w, b * c)
+        kernel = filt.transpose(1, 2, 0, 3).reshape(fs, fs, 1, b * c)
+        pad = (fs - 1) // 2
+        pads = ((pad, pad), (pad, pad)) if fs % 2 else (
+            (pad + 1, pad), (pad + 1, pad))
+        out = jax.lax.conv_general_dilated(
+            merged, kernel, window_strides=(1, 1), padding=pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=b * c)
+        out = out.reshape(h, w, b, c).transpose(2, 0, 1, 3)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name="norm_out")(out)
+        out = nn.relu(out)
+        if self.fusion:
+            out = ConvModule(self.channels, (1, 1), norm=self.norm,
+                             act="relu", name="fusion")(out, train=train)
+        return out
+
+
+class DMHead(nn.Module):
+    """Dynamic multi-scale filter head (dm_head.py:DMHead)."""
+
+    num_classes: int
+    channels: int = 512
+    filter_sizes: Sequence[int] = (1, 3, 5, 7)
+    fusion: bool = False
+    norm: str = "BN"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = feats[-1]
+        outs = [x] + [
+            _DCM(fsz, self.channels, self.fusion, self.norm,
+                 name=f"dcm{fsz}")(x, train=train)
+            for fsz in self.filter_sizes]
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="bottleneck")(jnp.concatenate(outs, axis=-1),
+                                          train=train)
+        return SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y, train=train)
+
+
+# ---------------------------------------------------------------------------
+# CCHead — criss-cross attention without the mmcv CUDA kernel
+# ---------------------------------------------------------------------------
+
+
+class _CrissCrossAttention(nn.Module):
+    """Exact CrissCrossAttention (mmcv csrc ops/cc_attention): per query
+    (i, j), keys are its full column and full row, jointly softmaxed with the
+    column-branch self-logit masked to -inf (the reference's INF trick avoids
+    counting (i, j) twice). Dense einsums — axial attention is MXU-friendly."""
+
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        cq = max(c // self.reduction, 1)
+        q = nn.Conv(cq, (1, 1), name="query")(x)
+        k = nn.Conv(cq, (1, 1), name="key")(x)
+        v = nn.Conv(c, (1, 1), name="value")(x)
+        # column branch: query (i,j) vs keys (u,j) — mask u == i
+        e_col = jnp.einsum("bijc,bujc->biju", q, k)
+        e_col = e_col - jnp.where(jnp.eye(h, dtype=bool), jnp.inf, 0.0
+                                  )[None, :, None, :]
+        # row branch: query (i,j) vs keys (i,u)
+        e_row = jnp.einsum("bijc,biuc->biju", q, k)
+        attn = jax.nn.softmax(
+            jnp.concatenate([e_col, e_row], axis=-1), axis=-1)
+        a_col, a_row = attn[..., :h], attn[..., h:]
+        out = (jnp.einsum("biju,bujc->bijc", a_col, v)
+               + jnp.einsum("biju,biuc->bijc", a_row, v))
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return x + gamma * out
+
+
+class CCHead(nn.Module):
+    """CCNet head (cc_head.py:CCHead): FCN-style convs around `recurrence`
+    criss-cross attention passes."""
+
+    num_classes: int
+    channels: int = 512
+    recurrence: int = 2
+    concat_input: bool = True
+    norm: str = "BN"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = feats[-1]
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="conv0")(x, train=train)
+        cca = _CrissCrossAttention(name="cca")
+        for _ in range(self.recurrence):
+            y = cca(y)
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="conv1")(y, train=train)
+        if self.concat_input:
+            y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                           name="conv_cat")(jnp.concatenate([x, y], axis=-1),
+                                            train=train)
+        return SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y, train=train)
+
+
+# ---------------------------------------------------------------------------
+# DNLHead
+# ---------------------------------------------------------------------------
+
+
+class _DisentangledNonLocal(nn.Module):
+    """dnl_head.py:DisentangledNonLocal2d — whitened (mean-subtracted)
+    embedded-gaussian pairwise term + softmax unary term, shared value."""
+
+    reduction: int = 2
+    temperature: float = 0.05
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        ci = max(c // self.reduction, 1)
+        n = h * w
+        g = nn.Conv(ci, (1, 1), name="g")(x).reshape(b, n, ci)
+        theta = nn.Conv(ci, (1, 1), name="theta")(x).reshape(b, n, ci)
+        phi = nn.Conv(ci, (1, 1), name="phi")(x).reshape(b, n, ci)
+        theta = theta - theta.mean(axis=1, keepdims=True)
+        phi = phi - phi.mean(axis=1, keepdims=True)
+        logits = jnp.einsum("bqc,bkc->bqk", theta, phi)
+        logits = logits * (ci ** -0.5) / self.temperature
+        pair = jax.nn.softmax(logits, axis=-1)
+        y = jnp.einsum("bqk,bkc->bqc", pair, g)
+        unary = jax.nn.softmax(
+            nn.Conv(1, (1, 1), name="conv_mask")(x).reshape(b, n), axis=-1)
+        uy = jnp.einsum("bk,bkc->bc", unary, g)[:, None, :]
+        out = nn.Conv(c, (1, 1), name="conv_out")(
+            (y + uy).reshape(b, h, w, ci))
+        return x + out
+
+
+class DNLHead(nn.Module):
+    """Disentangled non-local head (dnl_head.py:DNLHead) — FCN(num_convs=2)
+    with the DNL block between the convs."""
+
+    num_classes: int
+    channels: int = 512
+    reduction: int = 2
+    temperature: float = 0.05
+    concat_input: bool = True
+    norm: str = "BN"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = feats[-1]
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="conv0")(x, train=train)
+        y = _DisentangledNonLocal(self.reduction, self.temperature,
+                                  name="dnl")(y)
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="conv1")(y, train=train)
+        if self.concat_input:
+            y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                           name="conv_cat")(jnp.concatenate([x, y], axis=-1),
+                                            train=train)
+        return SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y, train=train)
+
+
+# ---------------------------------------------------------------------------
+# GCHead
+# ---------------------------------------------------------------------------
+
+
+class _ContextBlock(nn.Module):
+    """mmcv ContextBlock: softmax-attention global pooling + a bottleneck
+    channel transform (1x1 → LN → relu → 1x1), added back to every pixel."""
+
+    ratio: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        planes = max(int(c * self.ratio), 1)
+        attn = jax.nn.softmax(
+            nn.Conv(1, (1, 1), name="conv_mask")(x).reshape(b, h * w), axis=-1)
+        ctx = jnp.einsum("bn,bnc->bc", attn, x.reshape(b, h * w, c))
+        t = nn.Dense(planes, name="down")(ctx)
+        t = nn.LayerNorm(epsilon=1e-5, name="ln")(t)
+        t = nn.relu(t)
+        t = nn.Dense(c, name="up")(t)
+        return x + t[:, None, None, :]
+
+
+class GCHead(nn.Module):
+    """GCNet head (gc_head.py:GCHead) — FCN(num_convs=2) with a global
+    context block between the convs."""
+
+    num_classes: int
+    channels: int = 512
+    ratio: float = 0.25
+    concat_input: bool = True
+    norm: str = "BN"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = feats[-1]
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="conv0")(x, train=train)
+        y = _ContextBlock(self.ratio, name="gc")(y)
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="conv1")(y, train=train)
+        if self.concat_input:
+            y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                           name="conv_cat")(jnp.concatenate([x, y], axis=-1),
+                                            train=train)
+        return SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y, train=train)
+
+
+# ---------------------------------------------------------------------------
+# EMAHead
+# ---------------------------------------------------------------------------
+
+
+class _EMAModule(nn.Module):
+    """ema_head.py:EMAModule — EM iterations refine `num_bases` bases against
+    the feature map under stop_gradient (the reference's torch.no_grad);
+    bases persist in `batch_stats` with a momentum update at train time so
+    the cross-device mean rides the existing batch-stats sync."""
+
+    channels: int
+    num_bases: int = 64
+    num_stages: int = 3
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        n = h * w
+        feats = x.reshape(b, n, c)
+
+        def init_bases(key, shape):
+            v = jax.random.normal(key, shape) * np.sqrt(2.0 / self.num_bases)
+            return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+
+        bases_var = self.variable("batch_stats", "bases", init_bases,
+                                  self.make_rng("params")
+                                  if self.is_initializing() else None,
+                                  (self.num_bases, self.channels))
+        bases0 = jnp.broadcast_to(bases_var.value[None],
+                                  (b, self.num_bases, c))
+
+        def em_step(_, bases):
+            # responsibilities: softmax over bases, then l1-norm over pixels
+            attn = jax.nn.softmax(
+                jnp.einsum("bnc,bkc->bnk", feats, bases), axis=-1)
+            attn_n = attn / (attn.sum(axis=1, keepdims=True) + 1e-12)
+            new = jnp.einsum("bnc,bnk->bkc", feats, attn_n)
+            return new / (jnp.linalg.norm(new, axis=-1, keepdims=True) + 1e-12)
+
+        bases = jax.lax.stop_gradient(
+            jax.lax.fori_loop(0, self.num_stages, em_step, bases0))
+        attn = jax.nn.softmax(
+            jnp.einsum("bnc,bkc->bnk", feats, jax.lax.stop_gradient(bases)),
+            axis=-1)
+        recon = jnp.einsum("bnk,bkc->bnc", attn, bases).reshape(b, h, w, c)
+
+        if train and not self.is_initializing():
+            mean_b = bases.mean(axis=0)
+            mean_b = mean_b / (jnp.linalg.norm(mean_b, axis=-1, keepdims=True)
+                               + 1e-12)
+            bases_var.value = ((1 - self.momentum) * bases_var.value
+                               + self.momentum * mean_b)
+        return recon
+
+
+class EMAHead(nn.Module):
+    """EMANet head (ema_head.py:EMAHead)."""
+
+    num_classes: int
+    channels: int = 256
+    ema_channels: int = 256
+    num_bases: int = 64
+    num_stages: int = 3
+    momentum: float = 0.1
+    concat_input: bool = True
+    norm: str = "BN"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = feats[-1]
+        y = ConvModule(self.ema_channels, (3, 3), norm=self.norm, act="relu",
+                       name="ema_in")(x, train=train)
+        identity = y
+        # mid conv is frozen in the reference (requires_grad=False) — the
+        # stop_gradient keeps its params at init, matching semantics
+        y = jax.lax.stop_gradient(
+            nn.Conv(self.ema_channels, (1, 1), name="ema_mid")(y))
+        recon = _EMAModule(self.ema_channels, self.num_bases, self.num_stages,
+                           self.momentum, name="ema")(y, train=train)
+        recon = ConvModule(self.ema_channels, (1, 1), norm=self.norm,
+                           act=None, name="ema_out")(nn.relu(recon),
+                                                     train=train)
+        y = nn.relu(identity + recon)
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="bottleneck")(y, train=train)
+        if self.concat_input:
+            y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                           name="conv_cat")(jnp.concatenate([x, y], axis=-1),
+                                            train=train)
+        return SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y, train=train)
+
+
+# ---------------------------------------------------------------------------
+# EncHead
+# ---------------------------------------------------------------------------
+
+
+class _Encoding(nn.Module):
+    """mmseg ops Encoding: soft-assign residuals to `num_codes` learned
+    codewords with per-code smoothing factors → [b, num_codes, C]."""
+
+    num_codes: int = 32
+
+    @nn.compact
+    def __call__(self, x_tokens: jnp.ndarray) -> jnp.ndarray:
+        b, n, c = x_tokens.shape
+        std = 1.0 / ((self.num_codes * c) ** 0.5)
+        codewords = self.param(
+            "codewords", nn.initializers.uniform(scale=2 * std),
+            (self.num_codes, c))
+        codewords = codewords - std  # uniform(-std, std)
+        scale = self.param("scale", nn.initializers.uniform(scale=1.0),
+                           (self.num_codes,)) * (-1.0)  # uniform(-1, 0)
+        resid = x_tokens[:, :, None, :] - codewords[None, None]  # [b,n,k,c]
+        dist = jnp.sum(resid * resid, axis=-1)  # [b, n, k]
+        assign = jax.nn.softmax(scale[None, None] * dist, axis=-1)
+        return jnp.einsum("bnk,bnkc->bkc", assign, resid)
+
+
+class EncHead(nn.Module):
+    """EncNet head (enc_head.py:EncHead): context-encoding channel gating,
+    plus SE logits for the semantic-encoding loss. Returns
+    (seg_logits, se_logits) when `use_se_loss` else seg_logits."""
+
+    num_classes: int
+    channels: int = 512
+    num_codes: int = 32
+    use_se_loss: bool = True
+    add_lateral: bool = False
+    norm: str = "BN"
+    dropout: float = 0.1
+    align_corners: bool = False
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="bottleneck")(feats[-1], train=train)
+        if self.add_lateral:
+            h, w = y.shape[1:3]
+            lat = [resize(ConvModule(self.channels, (1, 1), norm=self.norm,
+                                     act="relu", name=f"lateral{i}")(
+                f, train=train), (h, w), mode="bilinear",
+                align_corners=self.align_corners)
+                for i, f in enumerate(feats[:-1])]
+            y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                           name="fusion")(jnp.concatenate([y] + lat, axis=-1),
+                                          train=train)
+        b, h, w, c = y.shape
+        proj = ConvModule(self.channels, (1, 1), norm=self.norm, act="relu",
+                          name="enc_proj")(y, train=train)
+        enc = _Encoding(self.num_codes, name="encoding")(
+            proj.reshape(b, h * w, c))
+        enc = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name="enc_bn")(enc)
+        enc_feat = nn.relu(enc).mean(axis=1)  # [b, C]
+        gamma = jax.nn.sigmoid(nn.Dense(self.channels, name="fc")(enc_feat))
+        y = nn.relu(y + y * gamma[:, None, None, :])
+        logits = SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y, train=train)
+        if self.use_se_loss:
+            se = nn.Dense(self.num_classes, name="se_layer")(enc_feat)
+            return logits, se
+        return logits
+
+
+def enc_onehot_labels(labels: jnp.ndarray, num_classes: int,
+                      ignore_index: int = 255) -> jnp.ndarray:
+    """Per-image class-presence targets for the SE loss
+    (enc_head.py:_convert_to_onehot_labels) — [b, K] in {0, 1}."""
+    valid = labels != ignore_index
+    onehot = jax.nn.one_hot(jnp.where(valid, labels, 0), num_classes)
+    onehot = onehot * valid[..., None]
+    return (onehot.sum(axis=(1, 2)) > 0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# ISAHead
+# ---------------------------------------------------------------------------
+
+
+class ISAHead(nn.Module):
+    """Interlaced sparse self-attention (isa_head.py:ISAHead): global-group
+    attention then local-group attention via two reshape/permute interlacings
+    — both static transposes that XLA fuses around the attention einsums."""
+
+    num_classes: int
+    channels: int = 512
+    isa_channels: int = 256
+    down_factor: Tuple[int, int] = (8, 8)
+    norm: str = "BN"
+    dropout: float = 0.1
+
+    def _attend(self, x, name, train):
+        """SelfAttentionBlock(with_out=False, qk convs ×2) + output project,
+        over token groups [g, n, c]."""
+        ctx = _SABlock(self.isa_channels, x.shape[-1], num_qk_convs=2,
+                       with_out=False, name=name)(x, x, train=train)
+        return _TokenConvModule(x.shape[-1], norm=self.norm, act="relu",
+                                name=f"{name}_out")(ctx, train=train)
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = feats[-1]
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="in_conv")(x, train=train)
+        residual = y
+        b, h, w, c = y.shape
+        lh, lw = self.down_factor
+        gh, gw = -(-h // lh), -(-w // lw)
+        ph, pw = gh * lh - h, gw * lw - w
+        if ph or pw:
+            y = jnp.pad(y, ((0, 0), (ph // 2, ph - ph // 2),
+                            (pw // 2, pw - pw // 2), (0, 0)))
+        # global relation: groups = local offsets, tokens = global grid
+        y = y.reshape(b, gh, lh, gw, lw, c)
+        yg = y.transpose(0, 2, 4, 1, 3, 5).reshape(b * lh * lw, gh * gw, c)
+        yg = self._attend(yg, "global_relation", train)
+        # local relation: groups = global cells, tokens = local window
+        yl = yg.reshape(b, lh, lw, gh, gw, c)
+        yl = yl.transpose(0, 3, 4, 1, 2, 5).reshape(b * gh * gw, lh * lw, c)
+        yl = self._attend(yl, "local_relation", train)
+        y = yl.reshape(b, gh, gw, lh, lw, c).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(b, gh * lh, gw * lw, c)
+        if ph or pw:
+            y = y[:, ph // 2:ph // 2 + h, pw // 2:pw // 2 + w]
+        y = ConvModule(self.channels, (1, 1), norm=self.norm, act="relu",
+                       name="out_conv")(jnp.concatenate([y, residual],
+                                                        axis=-1), train=train)
+        return SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y, train=train)
+
+
+# ---------------------------------------------------------------------------
+# PSAHead (compact form)
+# ---------------------------------------------------------------------------
+
+
+class PSAHead(nn.Module):
+    """Point-wise spatial attention (psa_head.py:PSAHead, compact=True
+    bi-direction form): collect/distribute branches each predict a full
+    [HW, HW] attention from a 1x1 conv stack; the mmcv PSAMask CUDA op is
+    only needed for the non-compact over-complete mask, so the compact
+    formulation is the TPU-native choice (pure matmuls)."""
+
+    num_classes: int
+    channels: int = 512
+    shrink_factor: int = 2
+    psa_softmax: bool = True
+    normalization_factor: float = 1.0
+    norm: str = "BN"
+    dropout: float = 0.1
+    align_corners: bool = False
+
+    def _branch(self, x, hs, ws, name, train):
+        y = ConvModule(self.channels, (1, 1), norm=self.norm, act="relu",
+                       name=f"{name}_reduce")(x, train=train)
+        if self.shrink_factor != 1:
+            y = resize(y, (hs, ws), mode="bilinear",
+                       align_corners=self.align_corners)
+        a = ConvModule(self.channels, (1, 1), norm=self.norm, act="relu",
+                       name=f"{name}_attn0")(y, train=train)
+        a = nn.Conv(hs * ws, (1, 1), use_bias=False,
+                    name=f"{name}_attn1")(a)
+        return y, a
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = feats[-1]
+        b, h, w, _ = x.shape
+        hs, ws = -(-h // self.shrink_factor), -(-w // self.shrink_factor)
+        n = hs * ws
+
+        xc, ac = self._branch(x, hs, ws, "collect", train)
+        xd, ad = self._branch(x, hs, ws, "distribute", train)
+        # collect: compact transposes the attention (each position gathers)
+        ac = ac.reshape(b, n, n).transpose(0, 2, 1)
+        ad = ad.reshape(b, n, n)
+        if self.psa_softmax:
+            ac = jax.nn.softmax(ac, axis=-1)
+            ad = jax.nn.softmax(ad, axis=-1)
+        scale = 1.0 / self.normalization_factor
+        yc = jnp.einsum("bqk,bkc->bqc", ac,
+                        xc.reshape(b, n, self.channels)) * scale
+        yd = jnp.einsum("bqk,bkc->bqc", ad,
+                        xd.reshape(b, n, self.channels)) * scale
+        y = jnp.concatenate([yc, yd], axis=-1).reshape(b, hs, ws,
+                                                       2 * self.channels)
+        y = ConvModule(x.shape[-1], (1, 1), norm=self.norm, act="relu",
+                       name="proj")(y, train=train)
+        y = resize(y, (h, w), mode="bilinear",
+                   align_corners=self.align_corners)
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="bottleneck")(jnp.concatenate([x, y], axis=-1),
+                                          train=train)
+        return SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y, train=train)
+
+
+# ---------------------------------------------------------------------------
+# KNetHead — iterative kernel update
+# ---------------------------------------------------------------------------
+
+
+class _KernelUpdator(nn.Module):
+    """K-Net adaptive kernel update (knet_head.py:KernelUpdateHead): the
+    mask-pooled group feature gates how much of the old kernel survives:
+      K~ = G_f ⊙ phi_f(F) + G_k ⊙ phi_k(K)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, kernels: jnp.ndarray,
+                 group_feat: jnp.ndarray) -> jnp.ndarray:
+        c = self.channels
+        f = nn.Dense(2 * c, name="feat_in")(group_feat)
+        k = nn.Dense(2 * c, name="kernel_in")(kernels)
+        f_param, f_gate_in = f[..., :c], f[..., c:]
+        k_param, k_gate_in = k[..., :c], k[..., c:]
+        gate_f = jax.nn.sigmoid(
+            nn.LayerNorm(name="fg_norm")(f_gate_in + k_gate_in))
+        gate_k = jax.nn.sigmoid(
+            nn.LayerNorm(name="kg_norm")(f_gate_in + k_gate_in))
+        new = (gate_f * nn.LayerNorm(name="f_norm")(f_param)
+               + gate_k * nn.LayerNorm(name="k_norm")(k_param))
+        return nn.relu(nn.LayerNorm(name="out_norm")(
+            nn.Dense(c, name="fc_out")(new)))
+
+
+class KNetHead(nn.Module):
+    """K-Net semantic head (knet_head.py): `num_classes` dynamic kernels
+    refine over `num_stages` rounds of (mask-pooling → adaptive update →
+    kernel self-attention → mask re-prediction). Returns the last stage's
+    logits; `all_stages=True` returns every stage for deep supervision."""
+
+    num_classes: int
+    channels: int = 256
+    num_stages: int = 3
+    num_heads: int = 8
+    all_stages: bool = False
+    norm: str = "BN"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="feat_conv")(feats[-1], train=train)
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        kernels = self.param("kernels", nn.initializers.normal(0.02),
+                             (self.num_classes, c))
+        kernels = jnp.broadcast_to(kernels[None], (b, self.num_classes, c))
+        logits = jnp.einsum("bnc,bkc->bnk", tokens, kernels)
+        outs = [logits]
+        for stage in range(self.num_stages):
+            # sigmoid-mask-weighted group features
+            m = jax.nn.sigmoid(logits)
+            group = jnp.einsum("bnk,bnc->bkc", m, tokens) / (
+                m.sum(axis=1)[..., None] + 1e-6)
+            kernels = _KernelUpdator(c, name=f"updator{stage}")(
+                kernels, group)
+            kernels = ViTBlock(c, self.num_heads,
+                               name=f"interact{stage}")(kernels, train=train)
+            logits = jnp.einsum("bnc,bkc->bnk", tokens, kernels)
+            outs.append(logits)
+        outs = [o.reshape(b, h, w, self.num_classes) for o in outs]
+        return outs if self.all_stages else outs[-1]
+
+
+# ---------------------------------------------------------------------------
+# SegmenterMaskHead
+# ---------------------------------------------------------------------------
+
+
+class SegmenterMaskHead(nn.Module):
+    """Segmenter mask transformer (segmenter_mask_head.py): patch tokens +
+    learned class tokens through `num_layers` ViT blocks; logits are the
+    (projected) patch·class similarities, LayerNormed over classes."""
+
+    num_classes: int
+    embed_dims: int = 256
+    num_layers: int = 2
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = feats[-1]
+        b, h, w, _ = x.shape
+        d = self.embed_dims
+        tok = nn.Dense(d, name="dec_proj")(x.reshape(b, h * w, -1))
+        cls = self.param("cls_emb", nn.initializers.normal(0.02),
+                         (1, self.num_classes, d))
+        y = jnp.concatenate([tok, jnp.broadcast_to(
+            cls, (b, self.num_classes, d))], axis=1)
+        for i in range(self.num_layers):
+            y = ViTBlock(d, self.num_heads, self.mlp_ratio,
+                         name=f"layer{i}")(y, train=train)
+        y = nn.LayerNorm(epsilon=1e-6, name="decoder_norm")(y)
+        patches = nn.Dense(d, use_bias=False, name="patch_proj")(
+            y[:, :-self.num_classes])
+        classes = nn.Dense(d, use_bias=False, name="classes_proj")(
+            y[:, -self.num_classes:])
+        classes = classes / (jnp.linalg.norm(classes, axis=-1, keepdims=True)
+                             + 1e-12)
+        masks = jnp.einsum("bnd,bkd->bnk", patches, classes)
+        masks = nn.LayerNorm(epsilon=1e-6, name="mask_norm")(masks)
+        return masks.reshape(b, h, w, self.num_classes)
+
+
+# ---------------------------------------------------------------------------
+# SepFCNHead + STDCHead
+# ---------------------------------------------------------------------------
+
+
+class SepFCNHead(nn.Module):
+    """Fast-SCNN depthwise-separable FCN head (sep_fcn_head.py)."""
+
+    num_classes: int
+    channels: int = 128
+    num_convs: int = 2
+    concat_input: bool = False
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        x = feats[-1]
+        y = x
+        for i in range(self.num_convs):
+            y = DepthwiseSeparableConv(self.channels,
+                                       name=f"conv{i}")(y, train=train)
+        if self.concat_input:
+            y = DepthwiseSeparableConv(self.channels, name="conv_cat")(
+                jnp.concatenate([x, y], axis=-1), train=train)
+        return SegHeadOut(self.num_classes, self.dropout, name="out")(
+            y, train=train)
+
+
+class STDCHead(nn.Module):
+    """STDC detail head (stdc_head.py:STDCHead): a 1-channel FCN trained on
+    laplacian boundary targets (use with `stdc_boundary_targets`)."""
+
+    channels: int = 64
+    norm: str = "BN"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        y = ConvModule(self.channels, (3, 3), norm=self.norm, act="relu",
+                       name="conv0")(feats[-1], train=train)
+        return SegHeadOut(1, self.dropout, name="out")(y, train=train)
+
+
+def stdc_boundary_targets(labels: jnp.ndarray,
+                          threshold: float = 0.1) -> jnp.ndarray:
+    """stdc_head.py:STDCHead.losses target generation: 3x3 laplacian edges of
+    the label map at strides 1/2/4, upsampled (nearest), binarized, fused with
+    the fixed (0.6, 0.3, 0.1) kernel, re-binarized → [b, H, W] in {0, 1}."""
+    lap = jnp.asarray([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]],
+                      jnp.float32).reshape(3, 3, 1, 1)
+    x = labels.astype(jnp.float32)[..., None]
+    h, w = x.shape[1:3]
+
+    def edge(stride):
+        e = jax.lax.conv_general_dilated(
+            x, lap, window_strides=(stride, stride), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.clip(e, 0.0, None)
+
+    b1 = (edge(1) > threshold).astype(jnp.float32)
+    b2 = resize((edge(2) > threshold).astype(jnp.float32), (h, w),
+                mode="nearest")
+    b4 = resize((edge(4) > threshold).astype(jnp.float32), (h, w),
+                mode="nearest")
+    fused = 0.6 * b1 + 0.3 * b2 + 0.1 * b4
+    return (fused[..., 0] > threshold).astype(jnp.float32)

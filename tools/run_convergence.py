@@ -28,7 +28,11 @@ import numpy as np
 
 
 def _setup_cache():
-    if os.environ.get("DDP_TPU_NO_CACHE"):
+    """Persistent compile cache — opt-IN via DDP_TPU_CACHE, mirroring
+    bench.py: serializing executables through the axon relay backend has been
+    observed to wedge the process right after writing the cache entry
+    (seen again 2026-08-21 on the converge_seg train step)."""
+    if not os.environ.get("DDP_TPU_CACHE"):
         return
     import jax
 
