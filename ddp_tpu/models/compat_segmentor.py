@@ -85,3 +85,71 @@ class CascadeEncoderDecoder(nn.Module):
         up = resize(logits1, img.shape[1:3], mode="bilinear",
                     align_corners=self.align_corners)
         return jnp.argmax(up, axis=-1)
+
+class EncoderDecoder(nn.Module):
+    """Generic encoder-decoder (mmseg encoder_decoder.py:16): backbone →
+    registry-built decode head (+ optional FCN aux head, weight 0.4).
+
+    ``head`` is any name from ``ddp_tpu.nn.head_registry.HEADS`` (the
+    reference's ``decode_head=dict(type=...)``); heads that return
+    (logits, aux_logits) tuples (EncHead's SE branch) contribute their aux
+    term via sigmoid BCE against class presence, matching enc_head.py losses.
+    """
+
+    backbone: nn.Module
+    head_name: str
+    num_classes: int
+    head_kwargs: Dict = None
+    aux_head: bool = True
+    aux_weight: float = 0.4
+    aux_in_index: int = -2
+    align_corners: bool = False
+
+    def setup(self):
+        from ..nn.head_registry import build_head
+
+        kw = dict(self.head_kwargs or {})
+        kw.setdefault("num_classes", self.num_classes)
+        self.decode_head = build_head(self.head_name, **kw)
+        if self.aux_head:
+            self.auxiliary_head = FCNHead(self.num_classes, norm="BN")
+
+    def forward_logits(self, img: jnp.ndarray, train: bool = False):
+        feats = self.backbone(img, train=train)
+        out = self.decode_head(list(feats), train=train)
+        se_logits = None
+        if isinstance(out, tuple):
+            out, se_logits = out
+        aux = (self.auxiliary_head(feats[self.aux_in_index], train=train)
+               if self.aux_head else None)
+        return out, aux, se_logits
+
+    def __call__(self, img: jnp.ndarray, gt: jnp.ndarray, train: bool = True):
+        logits, aux, se_logits = self.forward_logits(img, train=train)
+        full = gt.shape[1:3]
+        up = resize(logits, full, mode="bilinear",
+                    align_corners=self.align_corners)
+        loss = cross_entropy_seg(up, gt)
+        logs = {"decode.loss_ce": loss, "decode.acc_seg": seg_accuracy(up, gt)}
+        if aux is not None:
+            up_aux = resize(aux, full, mode="bilinear",
+                            align_corners=self.align_corners)
+            loss_aux = self.aux_weight * cross_entropy_seg(up_aux, gt)
+            logs["aux.loss_ce"] = loss_aux
+            loss = loss + loss_aux
+        if se_logits is not None:
+            from ..nn.compat_heads2 import enc_onehot_labels
+
+            tgt = enc_onehot_labels(gt, self.num_classes)
+            se = jnp.mean(jnp.maximum(se_logits, 0) - se_logits * tgt
+                          + jnp.log1p(jnp.exp(-jnp.abs(se_logits))))
+            logs["loss_se"] = 0.2 * se
+            loss = loss + 0.2 * se
+        logs["loss"] = loss
+        return loss, logs
+
+    def predict(self, img: jnp.ndarray) -> jnp.ndarray:
+        logits, _, _ = self.forward_logits(img, train=False)
+        up = resize(logits, img.shape[1:3], mode="bilinear",
+                    align_corners=self.align_corners)
+        return jnp.argmax(up, axis=-1)
