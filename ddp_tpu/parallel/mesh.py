@@ -68,6 +68,18 @@ def shard_batch(mesh: Mesh, batch):
         batch)
 
 
+def shard_batch_chunk(mesh: Mesh, batches):
+    """Place a stacked chunk of batches (leaves [T, B, ...]) onto the mesh:
+    scan axis replicated, batch axis sharded over 'data'. Multi-process
+    follows the same per-process local-rows contract as shard_batch."""
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batches)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batches)
+
+
 def token_sharding(mesh: Mesh) -> NamedSharding:
     """Shard a [B, S, C] token tensor: batch over 'data', tokens over
     'model' — the decoder's spatial-sharding axis (SURVEY.md §5: deform-attn

@@ -134,14 +134,69 @@ def train(
         start_step = int(state.step)
         print(f"resumed from step {start_step}", flush=True)
 
-    step_fn = make_train_step(model, tx, mesh=mesh, batch_keys=tuple(batch_keys),
-                              mixed_precision=rt.mixed_precision)
     logger = MetricLogger(rt.workdir, rt.log_interval,
                           tensorboard=rt.tensorboard)
     from .optim import make_lr_schedule
 
     sched = make_lr_schedule(cfg.optim)
 
+    def crossed(prev, now, interval):
+        return now // interval > prev // interval or now == rt.total_iters
+
+    def eval_ckpt_hooks(prev, now):
+        if crossed(prev, now, rt.ckpt_interval):
+            ckpt.save(now, jax.device_get(state), meta=ckpt_meta)
+        if eval_fn is not None and crossed(prev, now, rt.eval_interval):
+            metrics = eval_fn(state, now)
+            logger.log_eval(now, metrics)
+            if ckpt.save_best_if(now, jax.device_get(state), metrics,
+                                 meta=ckpt_meta):
+                print(f"[best @ {now}] {rt.save_best}="
+                      f"{metrics.get(rt.save_best)}", flush=True)
+            print(f"[eval @ {now}] " +
+                  " ".join(f"{k}={v:.4f}" for k, v in metrics.items()
+                           if isinstance(v, float)), flush=True)
+
+    spd = max(1, rt.steps_per_dispatch)
+    if spd > 1:
+        # multi-step dispatch: scan the raw step over stacked batch chunks
+        # inside ONE program — per-dispatch host latency amortized spd×
+        from ..parallel.mesh import shard_batch_chunk
+        from .state import make_chunked_train_step
+
+        chunk_fns = {spd: make_chunked_train_step(
+            model, tx, spd, mesh=mesh, batch_keys=tuple(batch_keys),
+            mixed_precision=rt.mixed_precision)}
+        step = start_step
+        pending = batch0
+        while step < rt.total_iters:
+            n = min(spd, rt.total_iters - step)
+            if n not in chunk_fns:  # tail chunk: one extra (smaller) compile
+                chunk_fns[n] = make_chunked_train_step(
+                    model, tx, n, mesh=mesh, batch_keys=tuple(batch_keys),
+                    mixed_precision=rt.mixed_precision)
+            chunk = []
+            for _ in range(n):
+                chunk.append(pending if pending is not None
+                             else next(data_iter))
+                pending = None
+            stacked = {k: np.stack([c[k] for c in chunk])
+                       for k in batch_keys}
+            state, logs = chunk_fns[n](state, shard_batch_chunk(mesh, stacked))
+            prev, step = step, step + n
+            # honor log intervals crossed inside the chunk (last crossing)
+            boundary = (step // rt.log_interval) * rt.log_interval
+            if boundary > prev or prev == start_step:
+                idx = (boundary - prev - 1) if boundary > prev else 0
+                at = boundary if boundary > prev else prev + 1
+                logs_host = {k: float(np.asarray(v)[idx])
+                             for k, v in jax.device_get(logs).items()}
+                logger.log(at, logs_host, float(sched(at - 1)))
+            eval_ckpt_hooks(prev, step)
+        return state
+
+    step_fn = make_train_step(model, tx, mesh=mesh, batch_keys=tuple(batch_keys),
+                              mixed_precision=rt.mixed_precision)
     batch = batch0
     for step in range(start_step, rt.total_iters):
         state, logs = step_fn(state, shard_batch(mesh, batch))

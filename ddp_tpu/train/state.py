@@ -133,6 +133,37 @@ def make_train_step(
     )
 
 
+def make_chunked_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    chunk: int,
+    mesh=None,
+    batch_keys: Tuple[str, ...] = ("image", "label"),
+    mixed_precision: bool = False,
+):
+    """Multi-step train dispatch: ONE jitted program that lax.scans the raw
+    train step over a stacked chunk of batches (leaves [chunk, B, ...]).
+
+    Amortizes per-dispatch host latency over ``chunk`` steps — the same
+    trick bench.py uses for honest timing, promoted to the real loop. Returns
+    (new_state, logs) where each log leaf is stacked [chunk] so callers can
+    report any in-chunk step. State is donated; batch chunks are sharded
+    batch-axis (axis 1) over the mesh's data axis.
+    """
+    raw = make_train_step(model, tx, mesh=None, batch_keys=batch_keys,
+                          mixed_precision=mixed_precision, jit=False)
+
+    def chunk_fn(state: TrainState, batches) -> Tuple[TrainState, Dict]:
+        return jax.lax.scan(raw, state, batches)
+
+    if mesh is None:
+        return jax.jit(chunk_fn, donate_argnums=(0,))
+    rep = replicated(mesh)
+    stacked = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(chunk_fn, in_shardings=(rep, stacked),
+                   out_shardings=(rep, rep), donate_argnums=(0,))
+
+
 def make_eval_step(model, mesh=None):
     """Jitted whole-image inference step returning per-image argmax maps."""
 
