@@ -279,7 +279,7 @@ PRESETS["converge_seg"] = lambda: Config(
     optim=OptimConfig(lr=3e-4, grad_clip=1.0, total_steps=1500,
                       warmup_steps=100, schedule="poly"),
     runtime=RuntimeConfig(total_iters=1500, log_interval=100, ckpt_interval=500,
-                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=50,
+                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
                           workdir="work_dirs/converge_seg"),
 )
 
@@ -296,7 +296,7 @@ PRESETS["converge_seg_window"] = lambda: Config(
     optim=OptimConfig(lr=3e-4, grad_clip=1.0, total_steps=1500,
                       warmup_steps=100, schedule="poly"),
     runtime=RuntimeConfig(total_iters=1500, log_interval=100, ckpt_interval=500,
-                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=50,
+                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
                           workdir="work_dirs/converge_seg_window"),
 )
 
@@ -313,7 +313,7 @@ PRESETS["converge_seg_aligned"] = lambda: Config(
     optim=OptimConfig(lr=3e-5, grad_clip=1.0, total_steps=300, warmup_steps=0,
                       schedule="poly"),
     runtime=RuntimeConfig(total_iters=300, log_interval=50, ckpt_interval=300,
-                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=50,
+                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
                           workdir="work_dirs/converge_seg_aligned"),
 )
 
@@ -330,7 +330,7 @@ PRESETS["converge_depth"] = lambda: Config(
     optim=OptimConfig(lr=1e-4, grad_clip=1.0, total_steps=1500,
                       warmup_steps=300, schedule="cosine"),
     runtime=RuntimeConfig(total_iters=1500, log_interval=100, ckpt_interval=500,
-                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=50,
+                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
                           workdir="work_dirs/converge_depth"),
 )
 
@@ -351,7 +351,7 @@ PRESETS["converge_bev"] = lambda: Config(
     optim=OptimConfig(lr=3e-4, grad_clip=5.0, total_steps=1200,
                       warmup_steps=100, schedule="cosine"),
     runtime=RuntimeConfig(total_iters=1200, log_interval=100, ckpt_interval=400,
-                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=50,
+                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
                           workdir="work_dirs/converge_bev"),
 )
 
@@ -363,7 +363,7 @@ PRESETS["converge_controlnet"] = lambda: Config(
                       warmup_steps=50, schedule="cosine",
                       custom_keys=()),
     runtime=RuntimeConfig(total_iters=600, log_interval=50, ckpt_interval=300,
-                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=50,
+                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
                           workdir="work_dirs/converge_controlnet"),
 )
 
