@@ -32,6 +32,7 @@ class ModelConfig:
     decoder_film: str = "v1"  # 'v1' | 'v2' | 'v3' FiLM layer variant
     decoder_pos: str = "sine"  # 'sine' | 'learned'
     depth_head_variant: str = "deform"  # 'deform' | 'upconv' | 'spade'
+    depth_act: str = "relu"  # 'relu' (torch parity) | 'softplus' (no dead-head)
     decoder_layers: int = 6
     decoder_heads: int = 8
     decoder_ffn_dim: int = 1024
@@ -322,7 +323,7 @@ PRESETS["converge_depth"] = lambda: Config(
     model=ModelConfig(task="depth", backbone_type="swin",
                       backbone_variant="nano", embed_dims=64, decoder_layers=6,
                       decoder_heads=8, decoder_ffn_dim=256, drop_path_rate=0.0,
-                      bit_scale=0.1, max_depth=10.0,
+                      bit_scale=0.1, max_depth=10.0, depth_act="softplus",
                       diffusion=DiffusionConfig(timesteps=3, accumulation=False)),
     data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=16),
     # relu+eps depth output dies at aggressive lr (zero grads observed at
@@ -562,7 +563,7 @@ def build_model(mc: ModelConfig):
             decoder_layers=mc.decoder_layers,
             decoder_heads=mc.decoder_heads,
             decoder_ffn_dim=mc.decoder_ffn_dim,
-            head_variant=mc.depth_head_variant,
+            head_variant=mc.depth_head_variant, depth_act=mc.depth_act,
             max_depth=mc.max_depth,
             min_depth=mc.min_depth,
         )

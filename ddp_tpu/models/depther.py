@@ -47,6 +47,7 @@ class DDPDepther(nn.Module):
     # 'deform' | 'upconv' (pixel-shuffle 4x output) | 'spade' — the reference's
     # head zoo (depth/.../deformable_head_with_time.py:21,172,285)
     head_variant: str = "deform"
+    depth_act: str = "relu"  # 'relu' (parity) | 'softplus' (from-scratch)
 
     def setup(self):
         if self.backbone_type == "swin":
@@ -61,6 +62,7 @@ class DDPDepther(nn.Module):
             self.embed_dims, num_layers=self.decoder_layers,
             num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim,
             min_depth=self.min_depth, variant=self.head_variant,
+            act=self.depth_act,
         )
         self.down = ConvModule(self.embed_dims, (1, 1))  # 256+1 -> 256 fusion
         self.time_mlp = TimeMLP(dim=self.embed_dims * 4)

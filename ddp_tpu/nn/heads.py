@@ -100,6 +100,13 @@ class DeformableDepthHead(nn.Module):
     attn_type: str = "msda"
     variant: str = "deform"  # 'deform' | 'upconv' | 'spade'
     film: str = "v1"
+    # 'relu' is the reference parity form (decode_head.py:258-270). It has a
+    # hard zero-gradient region: if conv_depth goes all-negative the head
+    # dies (observed: grad_norm=0 from step ~100 on the synthetic converge
+    # run). 'softplus' is the trainable-from-scratch option — identical
+    # asymptotics, never zero-gradient. conv_depth bias starts at +0.5 in
+    # both modes so the head is born alive (imports overwrite it).
+    act: str = "relu"  # 'relu' | 'softplus'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time: Optional[jnp.ndarray],
@@ -123,10 +130,13 @@ class DeformableDepthHead(nn.Module):
             q = ConvModule(c // 4, (3, 3), act="relu", name="up_conv")(
                 q, train=train)
             q = pixel_shuffle(q, 2)  # [B, 4h, 4w, C/16]
-            depth = nn.Conv(1, (3, 3), padding="SAME", name="conv_depth")(q)
+            depth = nn.Conv(1, (3, 3), padding="SAME", name="conv_depth",
+                            bias_init=nn.initializers.constant(0.5))(q)
         else:
-            depth = nn.Conv(1, (1, 1), name="conv_depth")(q)
-        return nn.relu(depth) + self.min_depth
+            depth = nn.Conv(1, (1, 1), name="conv_depth",
+                            bias_init=nn.initializers.constant(0.5))(q)
+        pos = nn.softplus(depth) if self.act == "softplus" else nn.relu(depth)
+        return pos + self.min_depth
 
 
 class FCNHead(nn.Module):
