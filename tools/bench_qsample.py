@@ -22,10 +22,13 @@ import numpy as np
 
 
 def timed_loop(fn, *args, iters=20):
+    """fn takes an int32 scalar `i` and must USE it (e.g. roll labels by i) —
+    otherwise XLA hoists the loop-invariant body and the delta measures
+    nothing (observed: negative ms on the hoisted qsample)."""
     @jax.jit
     def loop(n, *a):
         def body(i, acc):
-            return acc + jnp.sum(fn(*a)).astype(jnp.float32)
+            return acc + jnp.sum(fn(i, *a)).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -65,39 +68,37 @@ def main():
           f"C={args.channels} dtype={args.dtype}", flush=True)
 
     results = {}
+    def lab(i):
+        return jnp.roll(labels, i)  # loop-variant input, O(N) shift
+
     for name, fn in (
-        ("encode_pallas", lambda: Q._encode_pallas(labels, table, bs)),
-        ("encode_xla", lambda: Q.encode_map_xla(labels, table, bs)),
-        ("qsample_pallas", lambda: Q._qsample_pallas(labels, table, bs,
-                                                     alpha, sigma, noise)),
-        ("qsample_xla", lambda: Q.q_sample_xla(labels, table, bs,
-                                               alpha, sigma, noise)),
+        ("encode_pallas", lambda i: Q._encode_pallas(lab(i), table, bs)),
+        ("encode_xla", lambda i: Q.encode_map_xla(lab(i), table, bs)),
+        ("qsample_pallas", lambda i: Q._qsample_pallas(lab(i), table, bs,
+                                                       alpha, sigma, noise)),
+        ("qsample_xla", lambda i: Q.q_sample_xla(lab(i), table, bs,
+                                                 alpha, sigma, noise)),
     ):
         ms = timed_loop(fn)
         results[name] = ms
         print(f"{name:16s} {ms:8.3f} ms/call", flush=True)
 
     # backward: d(table) only (the trained parameter)
-    def g_pallas(tb):
-        return jax.grad(lambda t: jnp.sum(
-            Q._qsample_pallas(labels, t, bs, alpha, sigma, noise) ** 2))(tb)
-
     os.environ["DDP_TPU_FUSED_QSAMPLE"] = "1"
 
-    def g_fused(tb):
+    def g_fused(i, tb):
         return jax.grad(lambda t: jnp.sum(
-            Q.fused_q_sample(labels, t, bs, alpha, sigma, noise) ** 2))(tb)
+            Q.fused_q_sample(lab(i), t, bs, alpha, sigma, noise) ** 2))(tb)
 
     os.environ["DDP_TPU_FUSED_QSAMPLE"] = "0"
 
-    def g_xla(tb):
+    def g_xla(i, tb):
         return jax.grad(lambda t: jnp.sum(
-            Q.q_sample_xla(labels, t, bs, alpha, sigma, noise) ** 2))(tb)
+            Q.q_sample_xla(lab(i), t, bs, alpha, sigma, noise) ** 2))(tb)
 
     del os.environ["DDP_TPU_FUSED_QSAMPLE"]
-    for name, fn in (("grad_fused", lambda: g_fused(table)),
-                     ("grad_xla", lambda: g_xla(table))):
-        ms = timed_loop(fn, iters=10)
+    for name, fn in (("grad_fused", g_fused), ("grad_xla", g_xla)):
+        ms = timed_loop(fn, table, iters=10)
         results[name] = ms
         print(f"{name:16s} {ms:8.3f} ms/call", flush=True)
 
