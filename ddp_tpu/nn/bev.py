@@ -52,14 +52,20 @@ def lss_geometry(
 ) -> jnp.ndarray:
     """Unproject the image frustum into the lidar frame
     (vtransforms/base.py:79-122). Returns [B, N, D, fH, fW, 3]."""
-    pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
-    inv_post = jnp.linalg.inv(post_rots)
+    # camera geometry stays f32 regardless of the activation policy: the 3x3
+    # inversions are precision-critical and bf16 linalg has no CPU lowering
+    dtype = frustum.dtype
+    f32 = lambda x: x.astype(jnp.float32)
+    pts = f32(frustum)[None, None] - f32(post_trans)[:, :, None, None, None, :]
+    inv_post = jnp.linalg.inv(f32(post_rots))
     pts = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, pts)
     # (u·d, v·d, d) before unprojection through the intrinsics
     pts = jnp.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], axis=-1)
-    combine = jnp.einsum("bnij,bnjk->bnik", camera2lidar_rots, jnp.linalg.inv(intrins))
+    combine = jnp.einsum("bnij,bnjk->bnik", f32(camera2lidar_rots),
+                         jnp.linalg.inv(f32(intrins)))
     pts = jnp.einsum("bnij,bndhwj->bndhwi", combine, pts)
-    return pts + camera2lidar_trans[:, :, None, None, None, :]
+    out = pts + f32(camera2lidar_trans)[:, :, None, None, None, :]
+    return out.astype(dtype)
 
 
 class LSSTransform(nn.Module):
