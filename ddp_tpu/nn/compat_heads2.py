@@ -95,7 +95,8 @@ class _SABlock(nn.Module):
             return x
 
         q = project(query, "query")
-        k = q if self.share_key_query and query is key else project(key, "key")
+        # share whenever the flag is set — no object-identity gate (ADVICE r2)
+        k = q if self.share_key_query else project(key, "key")
         v_dim = self.channels if self.with_out else self.out_channels
         v = nn.Dense(v_dim, name="value")(key)
         attn = jnp.einsum("bqc,bkc->bqk", q, k) * (self.channels ** -0.5)
@@ -506,19 +507,24 @@ class _EMAModule(nn.Module):
         bases0 = jnp.broadcast_to(bases_var.value[None],
                                   (b, self.num_bases, c))
 
-        def em_step(_, bases):
+        def em_step(_, carry):
+            bases, _ = carry
             # responsibilities: softmax over bases, then l1-norm over pixels
             attn = jax.nn.softmax(
                 jnp.einsum("bnc,bkc->bnk", feats, bases), axis=-1)
             attn_n = attn / (attn.sum(axis=1, keepdims=True) + 1e-12)
             new = jnp.einsum("bnc,bnk->bkc", feats, attn_n)
-            return new / (jnp.linalg.norm(new, axis=-1, keepdims=True) + 1e-12)
+            new = new / (jnp.linalg.norm(new, axis=-1, keepdims=True) + 1e-12)
+            return new, attn
 
-        bases = jax.lax.stop_gradient(
-            jax.lax.fori_loop(0, self.num_stages, em_step, bases0))
-        attn = jax.nn.softmax(
-            jnp.einsum("bnc,bkc->bnk", feats, jax.lax.stop_gradient(bases)),
-            axis=-1)
+        # reconstruction reuses the LAST in-loop attention (computed from the
+        # pre-update bases) with the post-update bases, exactly like the
+        # reference (ema_head.py:55-66); both are no-grad constants, so the
+        # recon carries no gradient to `feats` (ADVICE r2: recomputing attn
+        # from the final bases was one E-step ahead and leaked a gradient)
+        attn0 = jnp.zeros((b, n, self.num_bases), feats.dtype)
+        bases, attn = jax.lax.stop_gradient(
+            jax.lax.fori_loop(0, self.num_stages, em_step, (bases0, attn0)))
         recon = jnp.einsum("bnk,bkc->bnc", attn, bases).reshape(b, h, w, c)
 
         if train and not self.is_initializing():
@@ -583,13 +589,18 @@ class _Encoding(nn.Module):
     @nn.compact
     def __call__(self, x_tokens: jnp.ndarray) -> jnp.ndarray:
         b, n, c = x_tokens.shape
+        # stored params equal the effective values (uniform(-std,std) /
+        # uniform(-1,0) directly) so a reference-checkpoint import can copy
+        # mmseg Encoding codewords/scale verbatim (ADVICE r2)
         std = 1.0 / ((self.num_codes * c) ** 0.5)
         codewords = self.param(
-            "codewords", nn.initializers.uniform(scale=2 * std),
+            "codewords",
+            lambda k, s: jax.random.uniform(k, s, minval=-std, maxval=std),
             (self.num_codes, c))
-        codewords = codewords - std  # uniform(-std, std)
-        scale = self.param("scale", nn.initializers.uniform(scale=1.0),
-                           (self.num_codes,)) * (-1.0)  # uniform(-1, 0)
+        scale = self.param(
+            "scale",
+            lambda k, s: jax.random.uniform(k, s, minval=-1.0, maxval=0.0),
+            (self.num_codes,))
         resid = x_tokens[:, :, None, :] - codewords[None, None]  # [b,n,k,c]
         dist = jnp.sum(resid * resid, axis=-1)  # [b, n, k]
         assign = jax.nn.softmax(scale[None, None] * dist, axis=-1)

@@ -159,6 +159,16 @@ def train(
 
     spd = max(1, rt.steps_per_dispatch)
     if spd > 1:
+        # ckpt/eval hooks fire at chunk-end resolution: a crossing inside a
+        # chunk lands at the chunk's final step (e.g. interval 500, spd 10 →
+        # ckpt at 500; interval 503 → ckpt at 510). Warn on misalignment so
+        # user-set intervals don't silently drift (ADVICE r2).
+        for nm, iv in (("ckpt_interval", rt.ckpt_interval),
+                       ("eval_interval", rt.eval_interval)):
+            if iv % spd:
+                print(f"[warn] runtime.{nm}={iv} is not a multiple of "
+                      f"steps_per_dispatch={spd}; the hook fires at the "
+                      f"chunk-end step after each crossing", flush=True)
         # multi-step dispatch: scan the raw step over stacked batch chunks
         # inside ONE program — per-dispatch host latency amortized spd×
         from ..parallel.mesh import shard_batch_chunk
@@ -184,14 +194,20 @@ def train(
                        for k in batch_keys}
             state, logs = chunk_fns[n](state, shard_batch_chunk(mesh, stacked))
             prev, step = step, step + n
-            # honor log intervals crossed inside the chunk (last crossing)
-            boundary = (step // rt.log_interval) * rt.log_interval
-            if boundary > prev or prev == start_step:
-                idx = (boundary - prev - 1) if boundary > prev else 0
-                at = boundary if boundary > prev else prev + 1
-                logs_host = {k: float(np.asarray(v)[idx])
-                             for k, v in jax.device_get(logs).items()}
-                logger.log(at, logs_host, float(sched(at - 1)))
+            # honor EVERY log-interval crossing inside the chunk, plus the
+            # very first step of a fresh run (ADVICE r2: the last-crossing-
+            # only logic dropped intermediate crossings and the first-step
+            # log when log_interval < steps_per_dispatch)
+            crossings = [s for s in range(prev + 1, step + 1)
+                         if s % rt.log_interval == 0]
+            if prev == start_step and (prev + 1) not in crossings:
+                crossings.insert(0, prev + 1)
+            if crossings:
+                logs_host = jax.device_get(logs)
+                for at in crossings:
+                    rec = {k: float(np.asarray(v)[at - prev - 1])
+                           for k, v in logs_host.items()}
+                    logger.log(at, rec, float(sched(at - 1)))
             eval_ckpt_hooks(prev, step)
         return state
 
