@@ -206,8 +206,24 @@ def main():
             train_row = bench_train(size, batch=8)
         except Exception as e:
             train_row = {"error": type(e).__name__}
+        # flagship (window-decoder) train throughput — the decoder decision
+        # blesses 'window' for from-scratch TPU training (msda_notes.md)
+        try:
+            train_row["window"] = bench_train(size, batch=8, attn="window")
+        except Exception as e:
+            train_row["window"] = {"error": type(e).__name__}
     else:
         train_row = None
+
+    # fold in the committed per-config rows measured by tools/bench_extra.py
+    # (Cityscapes slide, BEV camera sensor-rate, batch-scaling curve) — too
+    # many large compiles to re-pay every driver run; provenance kept
+    extra_path = os.path.join(os.path.dirname(__file__), "BENCH_EXTRA.json")
+    if not quick and os.path.exists(extra_path):
+        try:
+            rows["extra_measured"] = json.load(open(extra_path))
+        except Exception:
+            pass
 
     headline = rows["f32_b4"]
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_BENCH.json")

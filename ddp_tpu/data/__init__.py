@@ -57,7 +57,8 @@ def make_train_iter(cfg):
                                      scope=cfg.model.bev_xbound[1])
         else:
             ds = NuScenesBEVDataset(cfg.data.data_root, "train",
-                                    image_size=cfg.data.crop_size)
+                                    image_size=cfg.data.crop_size,
+                                    out_grid=cfg.model.bev_out_grid)
             if len(ds) == 0:
                 raise FileNotFoundError(
                     f"no nuScenes infos under {cfg.data.data_root}")

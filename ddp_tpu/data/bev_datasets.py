@@ -115,9 +115,10 @@ class NuScenesBEVDataset:
     ``maps/{token}.npz`` (key 'masks', [K, 200, 200])."""
 
     def __init__(self, data_root: str, split: str = "train",
-                 image_size=(256, 704)):
+                 image_size=(256, 704), out_grid: int = 200):
         self.data_root = data_root
         self.image_size = image_size
+        self.out_grid = out_grid
         path = os.path.join(data_root, f"nuscenes_infos_{split}.pkl")
         self.infos: List[dict] = []
         if os.path.exists(path):
@@ -159,6 +160,12 @@ class NuScenesBEVDataset:
             masks = np.moveaxis(masks, 0, -1)  # [200, 200, K]
         else:
             masks = np.zeros((200, 200, 6), np.float32)
+        if masks.shape[0] != self.out_grid:
+            # nearest-resize rasterized masks onto the configured output grid
+            # (the model's focal loss compares logits at out_grid directly)
+            g = self.out_grid
+            ii = (np.arange(g) * masks.shape[0] // g)
+            masks = masks[ii][:, ii]
         return {
             "image": np.stack(imgs),
             "cam2lidar_rots": np.stack(rots),

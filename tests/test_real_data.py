@@ -1,0 +1,123 @@
+"""Real-data path integration tests (VERDICT r2 missing #8).
+
+Drives the ON-DISK dataset loaders (ADE-format, Cityscapes-format, NYU
+depth, nuScenes infos pkl — committed tiny samples under tests/data/,
+regenerable with tests/make_tiny_data.py) through the REAL pipeline ->
+iterator -> train() for 2 steps. Before this, only synthetic iterators were
+ever executed; the file-reading/label-decoding branches of
+seg_datasets.py:32-82, depth_datasets.py:44-77 and bev_datasets.py:112-170
+had never run.
+
+Reference counterparts: mmseg/datasets/custom.py pre_eval flow,
+depth/datasets/nyu.py, bev/mmdet3d/datasets/nuscenes_dataset.py.
+"""
+import os
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _train_2_steps(cfg):
+    from ddp_tpu.data import make_train_iter
+    from ddp_tpu.train.loop import train
+
+    state = train(cfg, make_train_iter(cfg))
+    assert int(state.step) == 2
+    return state
+
+
+def test_ade_format_loader_and_train(tmp_path):
+    from ddp_tpu.config import get_config
+    from ddp_tpu.data.seg_datasets import SegDataset
+
+    ds = SegDataset(os.path.join(DATA, "ade"), "train", "ade20k")
+    assert len(ds) == 2
+    s = ds.load(0)
+    assert s["image"].shape == (48, 64, 3)
+    # reduce_zero_label: raw 0 -> 255, raw 1..7 -> 0..6
+    assert set(np.unique(s["label"])) <= set(range(7)) | {255}
+    assert (s["label"] == 255).any()
+
+    cfg = get_config("smoke", {
+        "data.dataset": "ade20k", "data.data_root": os.path.join(DATA, "ade"),
+        "data.batch_size": 4, "runtime.total_iters": 2,
+        "runtime.ckpt_interval": 100, "runtime.eval_interval": 100,
+        "runtime.log_interval": 1, "runtime.tensorboard": False,
+        "runtime.workdir": str(tmp_path)})
+    _train_2_steps(cfg)
+
+
+def test_cityscapes_format_loader(tmp_path):
+    from ddp_tpu.config import get_config
+    from ddp_tpu.data.seg_datasets import SegDataset
+
+    ds = SegDataset(os.path.join(DATA, "cityscapes"), "train", "cityscapes")
+    assert len(ds) == 2
+    s = ds.load(1)
+    # labelIds -> trainIds: {7,8,11,12,13,17,19} -> {0..6}, void 0 -> 255
+    assert set(np.unique(s["label"])) <= set(range(7)) | {255}
+
+    cfg = get_config("smoke", {
+        "data.dataset": "cityscapes",
+        "data.data_root": os.path.join(DATA, "cityscapes"),
+        "data.batch_size": 4, "runtime.total_iters": 2,
+        "runtime.ckpt_interval": 100, "runtime.eval_interval": 100,
+        "runtime.log_interval": 1, "runtime.tensorboard": False,
+        "runtime.workdir": str(tmp_path)})
+    _train_2_steps(cfg)
+
+
+@pytest.mark.slow
+def test_nyu_loader_and_train(tmp_path):
+    from ddp_tpu.config import apply_overrides, get_config
+    from ddp_tpu.data.depth_datasets import DepthDataset
+
+    ds = DepthDataset(os.path.join(DATA, "nyu"), "train", "nyu")
+    assert len(ds) == 2
+    s = ds.load(0)
+    assert s["image"].shape == (48, 64, 3)
+    assert s["label"].max() <= 10.0 and s["label"].max() > 0.3  # meters
+    assert (s["label"] == 0).any()  # invalid-depth pixels preserved
+
+    cfg = get_config("converge_depth")
+    cfg = apply_overrides(cfg, {
+        "data.dataset": "nyu", "data.data_root": os.path.join(DATA, "nyu"),
+        "data.crop_size": "(32,32)", "data.batch_size": 4,
+        "model.backbone_variant": "nano", "model.embed_dims": 32,
+        "model.decoder_layers": 1, "model.decoder_ffn_dim": 64,
+        "runtime.total_iters": 2, "runtime.steps_per_dispatch": 1,
+        "runtime.ckpt_interval": 100, "runtime.eval_interval": 100,
+        "runtime.log_interval": 1, "runtime.tensorboard": False,
+        "runtime.workdir": str(tmp_path)})
+    _train_2_steps(cfg)
+
+
+@pytest.mark.slow
+def test_nuscenes_loader_and_train(tmp_path):
+    from ddp_tpu.config import apply_overrides, get_config
+    from ddp_tpu.data.bev_datasets import NuScenesBEVDataset
+
+    root = os.path.join(DATA, "nuscenes")
+    ds = NuScenesBEVDataset(root, "train", image_size=(32, 64))
+    assert len(ds) == 2
+    s = ds.load(0)
+    assert s["image"].shape == (6, 32, 64, 3)
+    assert s["cam2lidar_rots"].shape == (6, 3, 3)
+    assert s["intrins"].shape == (6, 3, 3)
+    assert s["label"].shape == (200, 200, 3)
+    assert s["label"].max() == 1.0
+    # post_rots encode the resize-scale, post_trans the crop offset
+    assert s["post_rots"][0, 0, 0] > 0.5
+    assert s["post_trans"][0, 1] <= 0.0
+
+    cfg = get_config("smoke_bev")
+    cfg = apply_overrides(cfg, {
+        "data.dataset": "nuscenes", "data.data_root": root,
+        "data.crop_size": "(32,64)", "data.batch_size": 2,
+        "runtime.total_iters": 2,
+        "runtime.ckpt_interval": 100, "runtime.eval_interval": 100,
+        "runtime.log_interval": 1, "runtime.tensorboard": False,
+        "runtime.workdir": str(tmp_path)})
+    _train_2_steps(cfg)

@@ -1,0 +1,192 @@
+"""Extra per-config benchmark rows (VERDICT r2 missing #6 / BASELINE.json
+configs #2 and #4) measured once on the real chip and committed as
+BENCH_EXTRA.json; bench.py folds the file into its output so the driver's
+BENCH_r{N}.json carries them without re-paying ~8 large compiles per round.
+
+Rows:
+  cityscapes_slide     — ConvNeXt-T, 1024x2048 slide inference (crop 1024^2,
+                         stride 768^2 — encoder_decoder.py:181-227 protocol),
+                         3-step DDIM, bf16, window decoder. img/s.
+  bev_camera           — nuScenes camera rig (6 cams @ 256x704, LSS ->
+                         BEV 200^2 grid, randsteps 5, 3-step DDIM), frames/s
+                         vs the 10 Hz nuScenes sweep rate.
+  seg_window_scaling   — flagship seg batch curve b1/b2/b4/b8 (bf16, window):
+                         per-chip batching efficiency (multi-chip hardware is
+                         unavailable through the relay; this is the per-chip
+                         half of the scaling story).
+
+Usage: python tools/bench_extra.py [--rows cityscapes_slide bev_camera ...]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def timed_loop(fn, *args, iters=5):
+    def timed(n):
+        t0 = time.perf_counter()
+        float(fn(*args, n))
+        return time.perf_counter() - t0
+
+    for attempt in range(3):
+        try:
+            timed(1)
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            print(f"# compile attempt {attempt+1} failed "
+                  f"({type(e).__name__}); retrying", file=sys.stderr)
+            time.sleep(5)
+    t_small = timed(2)
+    t_big = timed(2 + iters)
+    return max((t_big - t_small) / iters, 1e-9)
+
+
+def _cast(variables, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables)
+
+
+def bench_cityscapes_slide():
+    from ddp_tpu.core.diffusion import DiffusionConfig
+    from ddp_tpu.evaluation.slide import slide_inference
+    from ddp_tpu.models.segmentor import DDPSegmentor
+
+    model = DDPSegmentor(
+        num_classes=19, backbone_type="convnext", backbone_variant="tiny",
+        diffusion=DiffusionConfig(timesteps=3, randsteps=1, accumulation=True),
+        drop_path_rate=0.0, decoder_attn="window")
+    h, w = 1024, 2048
+    crop, stride = (1024, 1024), (768, 768)
+    img_c = jnp.zeros((1, *crop, 3), jnp.float32)
+    gt_c = jnp.zeros((1, *crop), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, img_c, gt_c, train=False)
+    variables = _cast(variables, jnp.bfloat16)
+    img = jnp.zeros((1, h, w, 3), jnp.bfloat16)
+
+    @jax.jit
+    def slide_n(variables, img, rng, n):
+        def predict(crop_img):
+            return model.apply(variables, crop_img, method=model.sample,
+                               rngs={"diffusion": rng})
+
+        def body(i, acc):
+            out = slide_inference(predict, img * (1 + 0 * acc), 19, crop,
+                                  stride)
+            return acc + jnp.sum(out).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    per = timed_loop(slide_n, variables, img, jax.random.PRNGKey(7))
+    return {"img_per_s": round(1.0 / per, 3), "ms_per_img": round(per * 1e3, 1),
+            "crops_per_img": 3, "config": "convnext_t 1024x2048 slide "
+            "crop1024 stride768 bf16 window ddim3"}
+
+
+def bench_bev_camera(batch=1):
+    from ddp_tpu.config import get_config, build_model
+    from ddp_tpu.data.bev_datasets import SyntheticBEVDataset
+    import numpy as np
+
+    cfg = get_config("nuscenes_camera")
+    model = build_model(cfg.model)
+    mc = cfg.model
+    ds = SyntheticBEVDataset(image_size=mc.bev_image_size,
+                             out_grid=mc.bev_out_grid,
+                             num_classes=mc.num_classes,
+                             scope=mc.bev_xbound[1])
+    keys = ("image", "cam2lidar_rots", "cam2lidar_trans", "intrins",
+            "post_rots", "post_trans", "label")
+    samples = [ds.load(i) for i in range(batch)]
+    batch_np = {k: np.stack([s[k] for s in samples]) for k in keys}
+    args = [jnp.asarray(batch_np[k]) for k in keys]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, *args, train=False)
+    variables = _cast(variables, jnp.bfloat16)
+    sample_args = [jnp.asarray(batch_np[k], jnp.bfloat16
+                               if batch_np[k].dtype == np.float32 else None)
+                   for k in keys[:-1]]
+
+    @jax.jit
+    def bev_n(variables, args, rng, n):
+        def body(i, acc):
+            out = model.apply(variables, *args, method=model.sample,
+                              rngs={"diffusion": jax.random.fold_in(rng, i)})
+            return acc + jnp.sum(out).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    per = timed_loop(bev_n, variables, sample_args, jax.random.PRNGKey(7))
+    fps = batch / per
+    return {"frames_per_s": round(fps, 3), "batch": batch,
+            "vs_10hz_sweep_rate": round(fps / 10.0, 3),
+            "config": "swin_t LSS 6cam 256x704 -> bev200 randsteps5 ddim3 "
+            "bf16"}
+
+
+def bench_seg_scaling(batches=(1, 2, 4, 8)):
+    import bench as b
+
+    model = b._model(attn="window")
+    variables = b._init_variables(model, 512)
+    out = {}
+    for bs in batches:
+        out[f"b{bs}"] = round(b.bench_infer(model, variables, bs, 512,
+                                            jnp.bfloat16), 3)
+        print(f"seg window bf16 b{bs}: {out[f'b{bs}']} img/s", flush=True)
+    base = out["b1"]
+    out["b8_batching_efficiency"] = round(out["b8"] / (8 * base), 3)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", nargs="*", default=["cityscapes_slide",
+                                                  "bev_camera",
+                                                  "seg_window_scaling"])
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "BENCH_EXTRA.json"))
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    rows = {}
+    if os.path.exists(args.out):
+        rows = json.load(open(args.out)).get("rows", {})
+    for name in args.rows:
+        print(f"=== {name} ===", flush=True)
+        try:
+            if name == "cityscapes_slide":
+                rows[name] = bench_cityscapes_slide()
+            elif name == "bev_camera":
+                rows[name] = bench_bev_camera(batch=1)
+            elif name == "seg_window_scaling":
+                rows[name] = bench_seg_scaling()
+        except Exception as e:
+            rows[name] = f"error: {type(e).__name__}: {e}"
+        print(name, "->", json.dumps(rows[name]), flush=True)
+
+    out = {"measured_on": getattr(jax.devices()[0], "device_kind", "?"),
+           "date": time.strftime("%Y-%m-%d"),
+           "note": "measured by tools/bench_extra.py on the real chip; "
+                   "folded into bench.py output as rows.extra_measured",
+           "rows": rows}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

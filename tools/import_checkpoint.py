@@ -32,6 +32,13 @@ def main():
     from ddp_tpu.train.torch_import import import_ddp_seg
 
     cfg = get_config(args.preset, dict(kv.split("=", 1) for kv in args.set))
+    if cfg.model.decoder_attn != "msda":
+        # torch checkpoints are MSDA-shaped; the window decoder is the
+        # from-scratch TPU flagship only (decoder decision, r3)
+        from ddp_tpu.config import apply_overrides
+
+        cfg = apply_overrides(cfg, {"model.decoder_attn": "msda"})
+        print("note: forcing model.decoder_attn=msda for torch import")
     raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     state = raw.get("state_dict", raw)
     state = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)

@@ -63,15 +63,23 @@ def _restore_variables(cfg, workdir=None):
     from ddp_tpu.train.state import TrainState
 
     model = build_model(cfg.model)
-    if cfg.model.task == "bev":
+    if cfg.model.task in ("bev", "bev_fusion", "controlnet"):
         from ddp_tpu.data import make_train_iter
 
+        if cfg.model.task == "bev":
+            keys = ("image", "cam2lidar_rots", "cam2lidar_trans", "intrins",
+                    "post_rots", "post_trans", "label")
+        elif cfg.model.task == "bev_fusion":
+            from ddp_tpu.data.bev_datasets import FUSION_BATCH_KEYS as keys
+        else:
+            keys = ("image", "hint", "ids")
         b = next(make_train_iter(cfg))
         import jax.numpy as jnp
 
-        args = [jnp.asarray(b[k][:1]) for k in (
-            "image", "cam2lidar_rots", "cam2lidar_trans", "intrins",
-            "post_rots", "post_trans", "label")]
+        def first(a):
+            return jax.tree_util.tree_map(lambda x: jnp.asarray(x[:1]), a)
+
+        args = [first(b[k]) for k in keys]
     else:
         import jax.numpy as jnp
 
@@ -238,6 +246,117 @@ def eval_bev(variables, mc, seeds=SEEDS):
     return out
 
 
+def eval_bev_fusion(variables, mc, seeds=SEEDS):
+    """Fusion-path BEV map IoU on held-out synthetic scenes (camera rig +
+    voxelized lidar through the rulebook spconv encoder)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddp_tpu.config import build_model
+    from ddp_tpu.data.bev_datasets import (FUSION_BATCH_KEYS,
+                                           SyntheticFusionDataset)
+    from ddp_tpu.evaluation.metrics import bev_map_iou
+
+    ds = SyntheticFusionDataset(
+        sparse_shape=mc.bev_sparse_shape, caps=mc.bev_voxel_caps,
+        voxel_size=mc.bev_voxel_size, image_size=mc.bev_image_size,
+        out_grid=mc.bev_out_grid, num_classes=mc.num_classes,
+        scope=mc.bev_xbound[1])
+    model = build_model(mc)
+    mean = np.asarray((123.675, 116.28, 103.53), np.float32)
+    std = np.asarray((58.395, 57.12, 57.375), np.float32)
+    arg_keys = FUSION_BATCH_KEYS[:-1]  # all but label
+
+    @jax.jit
+    def predict(variables, args, rng):
+        return model.apply(variables, *args, method=model.sample,
+                           rngs={"diffusion": rng})
+
+    mious = []
+    for seed in seeds:
+        rng = jax.random.PRNGKey(seed)
+        scores, gts = [], []
+        for s0 in range(0, N_EVAL, EVAL_BATCH):
+            samples = []
+            for i in range(s0, s0 + EVAL_BATCH):
+                s = ds.load(HELDOUT_BASE + i)
+                s["image"] = (s["image"] - mean) / std
+                samples.append(s)
+            batch = {}
+            for k in arg_keys:
+                if k == "rulebooks":
+                    batch[k] = {kk: jnp.asarray(np.stack(
+                        [s[k][kk] for s in samples]))
+                        for kk in samples[0][k]}
+                else:
+                    batch[k] = jnp.asarray(np.stack([s[k] for s in samples]))
+            sc = predict(variables, [batch[k] for k in arg_keys],
+                         jax.random.fold_in(rng, s0))
+            scores.append(np.asarray(sc))
+            gts.append(np.stack([s["label"] for s in samples]))
+        sc = np.concatenate(scores).transpose(0, 3, 1, 2)
+        gt = np.concatenate(gts).transpose(0, 3, 1, 2)
+        m = bev_map_iou(sc, gt)
+        mious.append(m["mIoU"])
+    out = {"map_mIoU": round(float(np.mean(mious)), 4),
+           "map_mIoU_std": round(float(np.std(mious)), 4)}
+    out.update({k: v for k, v in m.items() if k.startswith("iou_")})
+    print(f"  bev_fusion: map mIoU {out['map_mIoU']:.4f} "
+          f"± {out['map_mIoU_std']:.4f}", flush=True)
+    return out
+
+
+def eval_controlnet(variables, mc, workdir, steps=20, guidance=3.0,
+                    n_grid=8, seed=0):
+    """Conditional-generation evidence (VERDICT r2 missing #3): sample a grid
+    of held-out fill50k hints with CFG DDIM, save hint|generated|target PNG,
+    and report PSNR/MAE vs the procedural ground truth (hint position +
+    prompt colors fully determine the target image)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddp_tpu.config import build_model
+    from ddp_tpu.data.controlnet_data import SyntheticFill50k, tokenize
+
+    model = build_model(mc)
+    ds = SyntheticFill50k(size=mc.cn_image_size)
+    samples = [ds.load(HELDOUT_BASE + i) for i in range(n_grid)]
+    hint = jnp.asarray(np.stack([s["hint"] for s in samples]))
+    ids = jnp.asarray(np.stack([s["ids"] for s in samples]))
+    uncond = jnp.asarray(np.stack([tokenize("")] * n_grid))
+    target = np.stack([s["image"] for s in samples])  # [-1, 1]
+
+    @jax.jit
+    def gen(variables, hint, ids, uncond, rng):
+        return model.apply(variables, hint, ids, uncond, steps, guidance,
+                           method=model.sample, rngs={"diffusion": rng})
+
+    img = np.asarray(gen(variables, hint, ids, uncond,
+                         jax.random.PRNGKey(seed)))
+    img = np.clip(img, -1.0, 1.0)
+    mse = float(np.mean((img - target) ** 2))  # over [-1,1] range
+    mae = float(np.mean(np.abs(img - target)))
+    psnr = float(10.0 * np.log10(4.0 / max(mse, 1e-12)))
+
+    # PNG grid: rows = hint / generated / target
+    from PIL import Image
+
+    def to_u8(a, lo, hi):
+        return np.clip((a - lo) / (hi - lo) * 255.0, 0, 255).astype(np.uint8)
+
+    rows = [np.concatenate(list(to_u8(np.asarray(hint), 0, 1)), axis=1),
+            np.concatenate(list(to_u8(img, -1, 1)), axis=1),
+            np.concatenate(list(to_u8(target, -1, 1)), axis=1)]
+    grid = np.concatenate(rows, axis=0)
+    png = os.path.join(workdir, "samples.png")
+    Image.fromarray(grid).save(png)
+    print(f"  controlnet: psnr {psnr:.2f} dB mae {mae:.4f} → {png}",
+          flush=True)
+    return {"psnr_db": round(psnr, 2), "mae": round(mae, 4),
+            "cfg_scale": guidance, "ddim_steps": steps,
+            "samples_png": png}
+
+
 def run_experiment(name, eval_only=False, iters=None, train_only=False,
                    resume=False):
     import jax
@@ -248,7 +367,9 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
 
     preset = {"seg": "converge_seg", "seg_aligned": "converge_seg_aligned",
               "seg_window": "converge_seg_window",
-              "depth": "converge_depth", "bev": "converge_bev"}[name]
+              "depth": "converge_depth", "bev": "converge_bev",
+              "bev_fusion": "converge_bev_fusion",
+              "controlnet": "converge_controlnet"}[name]
     cfg = get_config(preset)
     if iters:
         cfg = apply_overrides(cfg, {"runtime.total_iters": iters,
@@ -279,6 +400,10 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
         result = eval_seg(variables, cfg.model)
     elif name == "depth":
         result = eval_depth(variables, cfg.model)
+    elif name == "bev_fusion":
+        result = eval_bev_fusion(variables, cfg.model)
+    elif name == "controlnet":
+        result = eval_controlnet(variables, cfg.model, cfg.runtime.workdir)
     else:
         result = eval_bev(variables, cfg.model)
     result["preset"] = preset
@@ -321,7 +446,8 @@ def main():
 
     names = args.experiments or ["all"]
     if names == ["all"] or names == []:
-        names = ["seg", "seg_aligned", "depth", "bev"]
+        names = ["seg", "seg_aligned", "depth", "bev", "bev_fusion",
+                 "controlnet"]
     results = {}
     for n in names:
         results[n] = run_experiment(n, eval_only=args.eval_only,
@@ -335,7 +461,9 @@ def main():
         for n, preset in (("seg", "converge_seg"),
                           ("seg_aligned", "converge_seg_aligned"),
                           ("seg_window", "converge_seg_window"),
-                          ("depth", "converge_depth"), ("bev", "converge_bev")):
+                          ("depth", "converge_depth"), ("bev", "converge_bev"),
+                          ("bev_fusion", "converge_bev_fusion"),
+                          ("controlnet", "converge_controlnet")):
             if n not in results:
                 rp = os.path.join(get_config(preset).runtime.workdir,
                                   "result.json")
