@@ -51,10 +51,14 @@ def make_train_iter(cfg):
                                    bev_batch_iterator)
 
         if cfg.data.dataset == "synthetic":
+            # 512 train scenes (eval draws held-out indices): enough scene
+            # diversity to force the geometric image->BEV solution rather
+            # than memorization
             ds = SyntheticBEVDataset(image_size=cfg.model.bev_image_size,
                                      out_grid=cfg.model.bev_out_grid,
                                      num_classes=cfg.model.num_classes,
-                                     scope=cfg.model.bev_xbound[1])
+                                     scope=cfg.model.bev_xbound[1],
+                                     length=512)
         else:
             ds = NuScenesBEVDataset(cfg.data.data_root, "train",
                                     image_size=cfg.data.crop_size,

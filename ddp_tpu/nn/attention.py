@@ -31,8 +31,11 @@ def multihead_attention(
     b, nq, hd = q.shape
     d = hd // num_heads
     q = q.reshape(b, nq, num_heads, d)
-    k = k.reshape(b, k.shape[1], num_heads, d)
-    v = v.reshape(b, v.shape[1], num_heads, d)
+    # unify dtypes: under the bf16 policy a cross-attention query can arrive
+    # f32 while context-derived k/v are bf16 (or vice versa) — SDPA requires
+    # matching dtypes
+    k = k.reshape(b, k.shape[1], num_heads, d).astype(q.dtype)
+    v = v.reshape(b, v.shape[1], num_heads, d).astype(q.dtype)
     out = jax.nn.dot_product_attention(q, k, v)
     return out.reshape(b, nq, hd)
 
