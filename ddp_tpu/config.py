@@ -43,6 +43,11 @@ class ModelConfig:
     cn_size: str = "sd15"  # 'sd15' | 'tiny'
     cn_image_size: int = 512
     # bev-specific (defaults = the reference camera-bev256d2 geometry)
+    # 6-cam 360° rig like nuScenes: with fewer synthetic cameras most BEV
+    # cells are outside every camera frustum and their labels are
+    # unlearnable (r3 finding: the 2-cam rig's 160° coverage capped the
+    # convergence proof at marginal prediction, mIoU 0)
+    bev_num_cams: int = 6
     bev_image_size: Tuple[int, int] = (256, 704)
     bev_out_grid: int = 200
     bev_input_scope: Tuple = ((-51.2, 51.2, 0.8), (-51.2, 51.2, 0.8))
@@ -462,7 +467,7 @@ PRESETS["smoke_fusion"] = lambda: Config(
                       decoder_layers=1, decoder_heads=4, decoder_ffn_dim=64,
                       drop_path_rate=0.0,
                       diffusion=DiffusionConfig(timesteps=2, randsteps=1),
-                      bev_image_size=(32, 64), bev_out_grid=20,
+                      bev_num_cams=2, bev_image_size=(32, 64), bev_out_grid=20,
                       bev_input_scope=((-8.0, 8.0, 1.0), (-8.0, 8.0, 1.0)),
                       bev_output_scope=((-8.0, 8.0, 0.8), (-8.0, 8.0, 0.8)),
                       bev_xbound=(-8.0, 8.0, 0.5), bev_ybound=(-8.0, 8.0, 0.5),
@@ -484,7 +489,7 @@ PRESETS["smoke_bev"] = lambda: Config(
                       num_classes=3, embed_dims=32, decoder_layers=1,
                       decoder_heads=4, decoder_ffn_dim=64, drop_path_rate=0.0,
                       diffusion=DiffusionConfig(timesteps=2, randsteps=2),
-                      bev_image_size=(32, 64), bev_out_grid=20,
+                      bev_num_cams=2, bev_image_size=(32, 64), bev_out_grid=20,
                       bev_input_scope=((-8.0, 8.0, 1.0), (-8.0, 8.0, 1.0)),
                       bev_output_scope=((-8.0, 8.0, 0.8), (-8.0, 8.0, 0.8)),
                       bev_xbound=(-8.0, 8.0, 0.5), bev_ybound=(-8.0, 8.0, 0.5),

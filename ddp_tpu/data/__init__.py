@@ -39,10 +39,11 @@ def make_train_iter(cfg):
             sparse_shape=cfg.model.bev_sparse_shape,
             caps=cfg.model.bev_voxel_caps,
             voxel_size=cfg.model.bev_voxel_size,
+            num_cams=cfg.model.bev_num_cams,
             image_size=cfg.model.bev_image_size,
             out_grid=cfg.model.bev_out_grid,
             num_classes=cfg.model.num_classes,
-            scope=cfg.model.bev_xbound[1])
+            scope=cfg.model.bev_xbound[1], length=512)
         return fusion_batch_iterator(ds, cfg.data.batch_size,
                                      seed=cfg.runtime.seed, mean=cfg.data.mean,
                                      std=cfg.data.std, rank=rank, world=world)
@@ -54,7 +55,8 @@ def make_train_iter(cfg):
             # 512 train scenes (eval draws held-out indices): enough scene
             # diversity to force the geometric image->BEV solution rather
             # than memorization
-            ds = SyntheticBEVDataset(image_size=cfg.model.bev_image_size,
+            ds = SyntheticBEVDataset(num_cams=cfg.model.bev_num_cams,
+                                     image_size=cfg.model.bev_image_size,
                                      out_grid=cfg.model.bev_out_grid,
                                      num_classes=cfg.model.num_classes,
                                      scope=cfg.model.bev_xbound[1],

@@ -101,7 +101,8 @@ def bench_bev_camera(batch=1):
     cfg = get_config("nuscenes_camera")
     model = build_model(cfg.model)
     mc = cfg.model
-    ds = SyntheticBEVDataset(image_size=mc.bev_image_size,
+    ds = SyntheticBEVDataset(num_cams=mc.bev_num_cams,
+                             image_size=mc.bev_image_size,
                              out_grid=mc.bev_out_grid,
                              num_classes=mc.num_classes,
                              scope=mc.bev_xbound[1])

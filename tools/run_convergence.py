@@ -201,7 +201,8 @@ def eval_bev(variables, mc, seeds=SEEDS):
 
     from ddp_tpu.evaluation.metrics import bev_map_iou
 
-    ds = SyntheticBEVDataset(image_size=mc.bev_image_size,
+    ds = SyntheticBEVDataset(num_cams=mc.bev_num_cams,
+                             image_size=mc.bev_image_size,
                              out_grid=mc.bev_out_grid,
                              num_classes=mc.num_classes,
                              scope=mc.bev_xbound[1])
@@ -259,7 +260,8 @@ def eval_bev_fusion(variables, mc, seeds=SEEDS):
 
     ds = SyntheticFusionDataset(
         sparse_shape=mc.bev_sparse_shape, caps=mc.bev_voxel_caps,
-        voxel_size=mc.bev_voxel_size, image_size=mc.bev_image_size,
+        voxel_size=mc.bev_voxel_size, num_cams=mc.bev_num_cams,
+        image_size=mc.bev_image_size,
         out_grid=mc.bev_out_grid, num_classes=mc.num_classes,
         scope=mc.bev_xbound[1])
     model = build_model(mc)
