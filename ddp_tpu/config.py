@@ -268,6 +268,7 @@ PRESETS["nuscenes_camera"] = lambda: Config(
     name="nuscenes_camera",
     model=ModelConfig(task="bev", backbone_type="swin", backbone_variant="tiny",
                       num_classes=6, bit_scale=0.01, decoder_layers=5,
+                      decoder_attn="window",  # decoder decision (r3): 40k-token BEV grid
                       diffusion=DiffusionConfig(timesteps=3, randsteps=5)),
     data=DataConfig(dataset="nuscenes", batch_size=8,
                     data_root=_DATA_ROOTS["nuscenes"], crop_size=(256, 704)),
@@ -405,9 +406,11 @@ PRESETS["converge_controlnet"] = lambda: Config(
     name="converge_controlnet",
     model=ModelConfig(task="controlnet", cn_size="tiny", cn_image_size=64),
     data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=8),
+    # VAE is stage-1 pretrained (tools/run_convergence.py:pretrain_vae) and
+    # frozen here, mirroring the reference's frozen SD first stage
     optim=OptimConfig(lr=2e-4, grad_clip=1.0, total_steps=600,
                       warmup_steps=50, schedule="cosine",
-                      custom_keys=()),
+                      custom_keys=(("first_stage_model", (0.0, 0.0)),)),
     runtime=RuntimeConfig(total_iters=600, log_interval=50, ckpt_interval=300,
                           eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
                           workdir="work_dirs/converge_controlnet"),
@@ -450,7 +453,7 @@ PRESETS["nuscenes_fusion"] = lambda: Config(
     name="nuscenes_fusion",
     model=ModelConfig(task="bev_fusion", backbone_type="swin",
                       backbone_variant="tiny", num_classes=6, bit_scale=0.01,
-                      decoder_layers=5,
+                      decoder_layers=5, decoder_attn="window",
                       diffusion=DiffusionConfig(timesteps=3, randsteps=5)),
     data=DataConfig(dataset="nuscenes", batch_size=8,
                     data_root=_DATA_ROOTS["nuscenes"], crop_size=(256, 704)),
@@ -545,6 +548,7 @@ def build_model(mc: ModelConfig):
             decoder_layers=mc.decoder_layers,
             decoder_heads=mc.decoder_heads,
             decoder_ffn_dim=mc.decoder_ffn_dim,
+            decoder_attn=mc.decoder_attn,
             drop_path_rate=mc.drop_path_rate,
             image_size=mc.bev_image_size,
             out_grid=mc.bev_out_grid,
@@ -569,6 +573,7 @@ def build_model(mc: ModelConfig):
             decoder_layers=mc.decoder_layers,
             decoder_heads=mc.decoder_heads,
             decoder_ffn_dim=mc.decoder_ffn_dim,
+            decoder_attn=mc.decoder_attn,
             drop_path_rate=mc.drop_path_rate,
             image_size=mc.bev_image_size,
             out_grid=mc.bev_out_grid,

@@ -56,6 +56,7 @@ class DDPBEVCamera(nn.Module):
     decoder_layers: int = 5
     decoder_heads: int = 8
     decoder_ffn_dim: int = 1024
+    decoder_attn: str = "msda"  # 'msda' faithful | 'window' TPU-native
     drop_path_rate: float = 0.3
 
     def setup(self):
@@ -75,6 +76,7 @@ class DDPBEVCamera(nn.Module):
         self.decode_head = DeformableHeadWithTime(
             self.num_classes, self.embed_dims, num_layers=self.decoder_layers,
             num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim,
+            attn_type=self.decoder_attn,
         )
         self.embedding_table = nn.Embed(self.num_classes + 1, self.embed_dims)
         self.transform = ConvModule(self.embed_dims, (1, 1))

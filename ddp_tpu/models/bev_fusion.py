@@ -61,6 +61,7 @@ class DDPBEVFusion(nn.Module):
     decoder_layers: int = 5
     decoder_heads: int = 8
     decoder_ffn_dim: int = 1024
+    decoder_attn: str = "msda"  # 'msda' faithful | 'window' TPU-native
     drop_path_rate: float = 0.3
 
     def setup(self):
@@ -95,7 +96,8 @@ class DDPBEVFusion(nn.Module):
         self.bev_neck = LSSFPN(out_channels=self.embed_dims)
         self.decode_head = DeformableHeadWithTime(
             self.num_classes, self.embed_dims, num_layers=self.decoder_layers,
-            num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim)
+            num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim,
+            attn_type=self.decoder_attn)
         self.embedding_table = nn.Embed(self.num_classes + 1, self.embed_dims)
         self.transform = ConvModule(self.embed_dims, (1, 1))
         self.time_mlp = TimeMLP(dim=self.embed_dims * 4)

@@ -146,8 +146,11 @@ def bench_seg_scaling(batches=(1, 2, 4, 8)):
         out[f"b{bs}"] = round(b.bench_infer(model, variables, bs, 512,
                                             jnp.bfloat16), 3)
         print(f"seg window bf16 b{bs}: {out[f'b{bs}']} img/s", flush=True)
+    # throughput ratio vs b1 (b1 is already compute-saturated on one chip,
+    # so ideal batching holds img/s constant; <1 means batching hurts)
     base = out["b1"]
-    out["b8_batching_efficiency"] = round(out["b8"] / (8 * base), 3)
+    for bs in batches[1:]:
+        out[f"b{bs}_vs_b1"] = round(out[f"b{bs}"] / base, 3)
     return out
 
 

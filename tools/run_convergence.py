@@ -359,6 +359,63 @@ def eval_controlnet(variables, mc, workdir, steps=20, guidance=3.0,
             "samples_png": png}
 
 
+def pretrain_vae(mc, iters=800, batch=8, lr=2e-3, seed=0):
+    """Stage-1 VAE pretraining for the from-scratch ControlNet demo.
+
+    The reference's first stage is a PRETRAINED, frozen AutoencoderKL (SD
+    weights; ldm trains it separately with a recon+KL objective). Our
+    p_losses only optimizes eps-MSE, so without this stage the latent space
+    and decoder stay random and every generation decodes to noise (r3
+    finding: 600-iter run reached eps-loss 0.069 yet MAE 0.68 vs target).
+    Trains recon+KL on fill50k images; the params are injected under
+    ldm/first_stage_model and frozen via the preset's lr_mult-0 rule.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ddp_tpu.config import build_model
+    from ddp_tpu.data.controlnet_data import SyntheticFill50k
+    from ddp_tpu.nn.autoencoder import AutoencoderKL
+
+    trainer = build_model(mc)
+    vae = AutoencoderKL(embed_dim=trainer.unet.in_channels, ch=trainer.vae_ch,
+                        ch_mult=trainer.vae_ch_mult,
+                        num_res_blocks=trainer.vae_nrb)
+    ds = SyntheticFill50k(size=mc.cn_image_size)
+    img0 = jnp.zeros((1, mc.cn_image_size, mc.cn_image_size, 3))
+    variables = vae.init(jax.random.PRNGKey(seed), img0,
+                         method=lambda m, x: m.decode(m.encode(x)[0]))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt_state, img, rng):
+        def loss_fn(p):
+            mean, logvar = vae.apply({"params": p}, img, method=vae.encode)
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mean.shape)
+            rec = vae.apply({"params": p}, z, method=vae.decode)
+            kl = 0.5 * jnp.mean(mean ** 2 + jnp.exp(logvar) - 1.0 - logvar)
+            return jnp.mean((rec - img) ** 2) + 1e-6 * kl
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = variables["params"]
+    rng = jax.random.PRNGKey(seed + 1)
+    for i in range(iters):
+        idxs = np.random.default_rng((seed, i)).integers(0, len(ds), batch)
+        img = jnp.asarray(np.stack([ds.load(int(j))["image"] for j in idxs]))
+        rng, r = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, img, r)
+        if i % 100 == 0 or i == iters - 1:
+            print(f"  vae pretrain {i}: recon+kl {float(loss):.5f}",
+                  flush=True)
+    return params
+
+
 def run_experiment(name, eval_only=False, iters=None, train_only=False,
                    resume=False):
     import jax
@@ -390,6 +447,27 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
 
             init_params, step = _restore_variables(gc("converge_seg"))
             print(f"fine-tuning from converge_seg step {step}", flush=True)
+        elif name == "controlnet":
+            # stage 1: pretrain + freeze the VAE (reference: pretrained SD
+            # first stage), then train UNet+ControlNet on its latent space
+            import jax.numpy as jnp
+
+            from ddp_tpu.config import build_model
+
+            vae_params = pretrain_vae(cfg.model)
+            model = build_model(cfg.model)
+            s = cfg.model.cn_image_size
+            from ddp_tpu.data.controlnet_data import tokenize
+
+            init_params = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "diffusion": jax.random.PRNGKey(1),
+                 "dropout": jax.random.PRNGKey(2)},
+                jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 3)),
+                jnp.asarray(tokenize("")[None]), train=False)
+            init_params["params"]["ldm"]["first_stage_model"] = vae_params
+            print("injected pretrained VAE into first_stage_model",
+                  flush=True)
         it = make_train_iter(cfg)
         state = train(cfg, it, init_params=init_params, resume=resume)
         variables = _variables_from_state(jax.device_get(state))
