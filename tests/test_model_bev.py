@@ -181,3 +181,23 @@ def test_bev_sample(bev_model):
     assert out.shape == (1, 20, 20, 3)
     o = np.asarray(out)
     assert (o >= 0).all() and (o <= 1).all()  # sigmoid-prob scores
+
+
+def test_bev_window_decoder_sample():
+    """decoder_attn='window' variant (the flagship choice for the 200x200
+    grid where the MSDA gather temp OOMs a v5e — see README decoder
+    decision): build + one sample pass."""
+    model = DDPBEVCamera(**{**NANO_BEV, "decoder_attn": "window"})
+    b, n = 1, 2
+    img = jnp.zeros((b, n, 32, 64, 3))
+    gt = jnp.zeros((b, 20, 20, 3), jnp.int32)
+    rig = _camera_rig(b, n)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        img, *rig, gt, train=False,
+    )
+    out = model.apply(variables, img, *rig, method=model.sample,
+                      rngs={"diffusion": jax.random.PRNGKey(5)})
+    assert out.shape == (b, 20, 20, 3)
+    assert np.isfinite(np.asarray(out)).all()
