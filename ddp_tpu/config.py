@@ -365,9 +365,9 @@ PRESETS["converge_bev"] = lambda: Config(
     # r3: lr 3e-4/1200 it underfit (loss plateau 0.031, all-background
     # collapse, mIoU 0); the 8-sample overfit probe at lr 1e-3 reaches
     # mIoU 0.83 in 400 steps — train hotter and longer
-    optim=OptimConfig(lr=1e-3, grad_clip=5.0, total_steps=3000,
+    optim=OptimConfig(lr=1e-3, grad_clip=5.0, total_steps=2500,
                       warmup_steps=100, schedule="cosine"),
-    runtime=RuntimeConfig(total_iters=3000, log_interval=100, ckpt_interval=1000,
+    runtime=RuntimeConfig(total_iters=2500, log_interval=100, ckpt_interval=500,
                           eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
                           workdir="work_dirs/converge_bev"),
 )
@@ -408,10 +408,12 @@ PRESETS["converge_controlnet"] = lambda: Config(
     data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=8),
     # VAE is stage-1 pretrained (tools/run_convergence.py:pretrain_vae) and
     # frozen here, mirroring the reference's frozen SD first stage
-    optim=OptimConfig(lr=2e-4, grad_clip=1.0, total_steps=600,
+    # r3: 600 iters left eps-loss at 0.14 and generations unrecognizable —
+    # a from-scratch tiny SD stack needs a few thousand steps
+    optim=OptimConfig(lr=2e-4, grad_clip=1.0, total_steps=2500,
                       warmup_steps=50, schedule="cosine",
                       custom_keys=(("first_stage_model", (0.0, 0.0)),)),
-    runtime=RuntimeConfig(total_iters=600, log_interval=50, ckpt_interval=300,
+    runtime=RuntimeConfig(total_iters=2500, log_interval=100, ckpt_interval=500,
                           eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
                           workdir="work_dirs/converge_controlnet"),
 )

@@ -192,7 +192,11 @@ def eval_depth(variables, mc, timesteps_list=(1, 3), seeds=SEEDS):
     return out
 
 
-def eval_bev(variables, mc, seeds=SEEDS):
+def eval_bev(variables, mc, timesteps_list=(1, 3), seeds=SEEDS):
+    """Seed-averaged BEV map IoU at each DDIM horizon (reference headline
+    behavior: 3-step >= 1-step, with randsteps ensembling)."""
+    import dataclasses as dc
+
     import jax
     import jax.numpy as jnp
 
@@ -206,50 +210,59 @@ def eval_bev(variables, mc, seeds=SEEDS):
                              out_grid=mc.bev_out_grid,
                              num_classes=mc.num_classes,
                              scope=mc.bev_xbound[1])
-    model = build_model(mc)
     mean = np.asarray((123.675, 116.28, 103.53), np.float32)
     std = np.asarray((58.395, 57.12, 57.375), np.float32)
 
-    @jax.jit
-    def predict(variables, img, rots, trans, intr, prots, ptrans, rng):
-        return model.apply(variables, img, rots, trans, intr, prots, ptrans,
-                           method=model.sample, rngs={"diffusion": rng})
-
     out = {}
-    mious = []
-    for seed in seeds:
-        rng = jax.random.PRNGKey(seed)
-        scores, gts = [], []
-        for s0 in range(0, N_EVAL, EVAL_BATCH):
-            batch = {k: [] for k in ("image", "cam2lidar_rots", "cam2lidar_trans",
-                                     "intrins", "post_rots", "post_trans", "label")}
-            for i in range(s0, s0 + EVAL_BATCH):
-                s = ds.load(HELDOUT_BASE + i)
-                s["image"] = (s["image"] - mean) / std
-                for k in batch:
-                    batch[k].append(s[k])
-            arrs = {k: jnp.asarray(np.stack(v)) for k, v in batch.items()}
-            sc = predict(variables, arrs["image"], arrs["cam2lidar_rots"],
-                         arrs["cam2lidar_trans"], arrs["intrins"],
-                         arrs["post_rots"], arrs["post_trans"],
-                         jax.random.fold_in(rng, s0))
-            scores.append(np.asarray(sc))
-            gts.append(np.stack(batch["label"]))
-        sc = np.concatenate(scores).transpose(0, 3, 1, 2)  # [N,K,G,G]
-        gt = np.concatenate(gts).transpose(0, 3, 1, 2)
-        m = bev_map_iou(sc, gt)
-        mious.append(m["mIoU"])
-    out["map_mIoU"] = round(float(np.mean(mious)), 4)
-    out["map_mIoU_std"] = round(float(np.std(mious)), 4)
-    out.update({k: v for k, v in m.items() if k.startswith("iou_")})
-    print(f"  bev: map mIoU {out['map_mIoU']:.4f} ± {out['map_mIoU_std']:.4f}",
-          flush=True)
+    for T in timesteps_list:
+        model = build_model(dc.replace(
+            mc, diffusion=dc.replace(mc.diffusion, timesteps=T)))
+
+        @jax.jit
+        def predict(variables, img, rots, trans, intr, prots, ptrans, rng,
+                    model=model):
+            return model.apply(variables, img, rots, trans, intr, prots,
+                               ptrans, method=model.sample,
+                               rngs={"diffusion": rng})
+
+        mious = []
+        for seed in seeds:
+            rng = jax.random.PRNGKey(seed)
+            scores, gts = [], []
+            for s0 in range(0, N_EVAL, EVAL_BATCH):
+                batch = {k: [] for k in ("image", "cam2lidar_rots",
+                                         "cam2lidar_trans", "intrins",
+                                         "post_rots", "post_trans", "label")}
+                for i in range(s0, s0 + EVAL_BATCH):
+                    s = ds.load(HELDOUT_BASE + i)
+                    s["image"] = (s["image"] - mean) / std
+                    for k in batch:
+                        batch[k].append(s[k])
+                arrs = {k: jnp.asarray(np.stack(v)) for k, v in batch.items()}
+                sc = predict(variables, arrs["image"], arrs["cam2lidar_rots"],
+                             arrs["cam2lidar_trans"], arrs["intrins"],
+                             arrs["post_rots"], arrs["post_trans"],
+                             jax.random.fold_in(rng, s0))
+                scores.append(np.asarray(sc))
+                gts.append(np.stack(batch["label"]))
+            sc = np.concatenate(scores).transpose(0, 3, 1, 2)  # [N,K,G,G]
+            gt = np.concatenate(gts).transpose(0, 3, 1, 2)
+            m = bev_map_iou(sc, gt)
+            mious.append(m["mIoU"])
+        out[f"map_mIoU@{T}step"] = round(float(np.mean(mious)), 4)
+        out[f"map_mIoU@{T}step_std"] = round(float(np.std(mious)), 4)
+        if T == timesteps_list[-1]:
+            out.update({k: v for k, v in m.items() if k.startswith("iou_")})
+        print(f"  bev {T}-step: map mIoU {out[f'map_mIoU@{T}step']:.4f} "
+              f"± {out[f'map_mIoU@{T}step_std']:.4f}", flush=True)
     return out
 
 
-def eval_bev_fusion(variables, mc, seeds=SEEDS):
+def eval_bev_fusion(variables, mc, timesteps_list=(1, 3), seeds=SEEDS):
     """Fusion-path BEV map IoU on held-out synthetic scenes (camera rig +
-    voxelized lidar through the rulebook spconv encoder)."""
+    voxelized lidar through the rulebook spconv encoder), per DDIM horizon."""
+    import dataclasses as dc
+
     import jax
     import jax.numpy as jnp
 
@@ -264,47 +277,62 @@ def eval_bev_fusion(variables, mc, seeds=SEEDS):
         image_size=mc.bev_image_size,
         out_grid=mc.bev_out_grid, num_classes=mc.num_classes,
         scope=mc.bev_xbound[1])
-    model = build_model(mc)
     mean = np.asarray((123.675, 116.28, 103.53), np.float32)
     std = np.asarray((58.395, 57.12, 57.375), np.float32)
     arg_keys = FUSION_BATCH_KEYS[:-1]  # all but label
 
-    @jax.jit
-    def predict(variables, args, rng):
-        return model.apply(variables, *args, method=model.sample,
-                           rngs={"diffusion": rng})
+    # cache loaded+normalized eval samples across horizons (voxelization +
+    # rulebook build dominate load time for fusion)
+    cache = {}
 
-    mious = []
-    for seed in seeds:
-        rng = jax.random.PRNGKey(seed)
-        scores, gts = [], []
-        for s0 in range(0, N_EVAL, EVAL_BATCH):
-            samples = []
-            for i in range(s0, s0 + EVAL_BATCH):
-                s = ds.load(HELDOUT_BASE + i)
-                s["image"] = (s["image"] - mean) / std
-                samples.append(s)
-            batch = {}
-            for k in arg_keys:
-                if k == "rulebooks":
-                    batch[k] = {kk: jnp.asarray(np.stack(
-                        [s[k][kk] for s in samples]))
-                        for kk in samples[0][k]}
-                else:
-                    batch[k] = jnp.asarray(np.stack([s[k] for s in samples]))
-            sc = predict(variables, [batch[k] for k in arg_keys],
-                         jax.random.fold_in(rng, s0))
-            scores.append(np.asarray(sc))
-            gts.append(np.stack([s["label"] for s in samples]))
-        sc = np.concatenate(scores).transpose(0, 3, 1, 2)
-        gt = np.concatenate(gts).transpose(0, 3, 1, 2)
-        m = bev_map_iou(sc, gt)
-        mious.append(m["mIoU"])
-    out = {"map_mIoU": round(float(np.mean(mious)), 4),
-           "map_mIoU_std": round(float(np.std(mious)), 4)}
-    out.update({k: v for k, v in m.items() if k.startswith("iou_")})
-    print(f"  bev_fusion: map mIoU {out['map_mIoU']:.4f} "
-          f"± {out['map_mIoU_std']:.4f}", flush=True)
+    def sample_at(i):
+        if i not in cache:
+            s = ds.load(i)
+            s["image"] = (s["image"] - mean) / std
+            cache[i] = s
+        return cache[i]
+
+    out = {}
+    for T in timesteps_list:
+        model = build_model(dc.replace(
+            mc, diffusion=dc.replace(mc.diffusion, timesteps=T)))
+
+        @jax.jit
+        def predict(variables, args, rng, model=model):
+            return model.apply(variables, *args, method=model.sample,
+                               rngs={"diffusion": rng})
+
+        mious = []
+        for seed in seeds:
+            rng = jax.random.PRNGKey(seed)
+            scores, gts = [], []
+            for s0 in range(0, N_EVAL, EVAL_BATCH):
+                samples = [sample_at(HELDOUT_BASE + i)
+                           for i in range(s0, s0 + EVAL_BATCH)]
+                batch = {}
+                for k in arg_keys:
+                    if k == "rulebooks":
+                        batch[k] = {kk: jnp.asarray(np.stack(
+                            [s[k][kk] for s in samples]))
+                            for kk in samples[0][k]}
+                    else:
+                        batch[k] = jnp.asarray(
+                            np.stack([s[k] for s in samples]))
+                sc = predict(variables, [batch[k] for k in arg_keys],
+                             jax.random.fold_in(rng, s0))
+                scores.append(np.asarray(sc))
+                gts.append(np.stack([s["label"] for s in samples]))
+            sc = np.concatenate(scores).transpose(0, 3, 1, 2)
+            gt = np.concatenate(gts).transpose(0, 3, 1, 2)
+            m = bev_map_iou(sc, gt)
+            mious.append(m["mIoU"])
+        out[f"map_mIoU@{T}step"] = round(float(np.mean(mious)), 4)
+        out[f"map_mIoU@{T}step_std"] = round(float(np.std(mious)), 4)
+        if T == timesteps_list[-1]:
+            out.update({k: v for k, v in m.items() if k.startswith("iou_")})
+        print(f"  bev_fusion {T}-step: map mIoU "
+              f"{out[f'map_mIoU@{T}step']:.4f} "
+              f"± {out[f'map_mIoU@{T}step_std']:.4f}", flush=True)
     return out
 
 
@@ -433,6 +461,14 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
     if iters:
         cfg = apply_overrides(cfg, {"runtime.total_iters": iters,
                                     "optim.total_steps": iters})
+    if not eval_only and not resume:
+        # clear stale checkpoints from earlier runs: a fresh run re-saving
+        # the same step number would silently keep the OLD weights
+        import shutil
+
+        ck = os.path.join(cfg.runtime.workdir, "ckpts")
+        if os.path.isdir(ck):
+            shutil.rmtree(ck)
     os.makedirs(cfg.runtime.workdir, exist_ok=True)
     print(f"=== {name} ({preset}) ===", flush=True)
 
