@@ -537,6 +537,10 @@ def publish(results):
     base = json.load(open(path))
     pub = base.get("published") or {}
     pub["synthetic_convergence"] = results
+    study = os.path.join(os.path.dirname(__file__), "..", "work_dirs",
+                         "plateau_window.json")
+    if os.path.exists(study):
+        pub["decoder_horizon_study"] = json.load(open(study))
     base["published"] = pub
     with open(path, "w") as f:
         json.dump(base, f, indent=2)
@@ -547,6 +551,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("experiments", nargs="*", default=["all"])
     p.add_argument("--publish", action="store_true")
+    p.add_argument("--publish-only", action="store_true",
+                   help="merge existing work_dirs/*/result.json into "
+                        "BASELINE.json without running anything")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--train-only", action="store_true")
     p.add_argument("--resume", action="store_true")
@@ -564,6 +571,8 @@ def main():
     if names == ["all"] or names == []:
         names = ["seg", "seg_aligned", "depth", "bev", "bev_fusion",
                  "controlnet"]
+    if args.publish_only:
+        names, args.publish = [], True
     results = {}
     for n in names:
         results[n] = run_experiment(n, eval_only=args.eval_only,
