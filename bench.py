@@ -33,14 +33,14 @@ if os.environ.get("DDP_TPU_CACHE"):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _model(attn="msda"):
+def _model(attn="msda", remat=False):
     from ddp_tpu.core.diffusion import DiffusionConfig
     from ddp_tpu.models.segmentor import DDPSegmentor
 
     return DDPSegmentor(
         num_classes=150, backbone_type="swin", backbone_variant="tiny",
         diffusion=DiffusionConfig(timesteps=3, randsteps=1, accumulation=True),
-        drop_path_rate=0.0, decoder_attn=attn,
+        drop_path_rate=0.0, decoder_attn=attn, decoder_remat=remat,
     )
 
 
@@ -119,7 +119,7 @@ def _peak_flops(device):
     return None, kind
 
 
-def bench_train(size=512, batch=8, attn="msda"):
+def bench_train(size=512, batch=8, attn="msda", remat=None):
     """Full train step (fwd+bwd+clip+AdamW, bf16 policy) steps/sec/chip.
 
     The on-device fori_loop body feeds each step's params into the next and
@@ -132,7 +132,11 @@ def bench_train(size=512, batch=8, attn="msda"):
     from ddp_tpu.train.optim import OptimConfig, make_optimizer
     from ddp_tpu.train.state import TrainState, make_train_step
 
-    model = _model(attn)
+    if remat is None:
+        # the msda backward's padded gather temps need 82G un-remat'd at
+        # this shape (measured OOM on v5e-16G); dense window fits without
+        remat = attn == "msda"
+    model = _model(attn, remat=remat)
     variables = _init_variables(model, size)
     tx = make_optimizer(OptimConfig(total_steps=1000, warmup_steps=0),
                         variables["params"])
@@ -170,7 +174,8 @@ def bench_train(size=512, batch=8, attn="msda"):
     per_iter = _timed_loop(train_n, state, batch_dev, iters=5)
     steps_s = 1.0 / per_iter
     row = {"steps_per_s": round(steps_s, 4),
-           "img_per_s": round(batch / per_iter, 3), "batch": batch}
+           "img_per_s": round(batch / per_iter, 3), "batch": batch,
+           "remat": bool(remat)}
     if flops_per_step:
         row["tflops_per_step"] = round(flops_per_step / 1e12, 3)
         peak, kind = _peak_flops(jax.devices()[0])

@@ -29,6 +29,7 @@ class ModelConfig:
     drop_path_rate: float = 0.3
     self_aligned: bool = False
     decoder_attn: str = "msda"  # 'msda' | 'window' (TPU-native dense)
+    decoder_remat: bool = False  # jax.checkpoint decoder layers (train memory)
     decoder_film: str = "v1"  # 'v1' | 'v2' | 'v3' FiLM layer variant
     decoder_pos: str = "sine"  # 'sine' | 'learned'
     depth_head_variant: str = "deform"  # 'deform' | 'upconv' | 'spade'
@@ -537,6 +538,7 @@ def build_model(mc: ModelConfig):
             decoder_film=mc.decoder_film,
             decoder_pos=mc.decoder_pos,
             self_aligned=mc.self_aligned,
+            decoder_remat=mc.decoder_remat,
         )
     if mc.task == "bev":
         from .models.bev import DDPBEVCamera
@@ -616,6 +618,7 @@ def build_model(mc: ModelConfig):
             decoder_heads=mc.decoder_heads,
             decoder_ffn_dim=mc.decoder_ffn_dim,
             head_variant=mc.depth_head_variant, depth_act=mc.depth_act,
+            decoder_remat=mc.decoder_remat,
             max_depth=mc.max_depth,
             min_depth=mc.min_depth,
         )

@@ -48,6 +48,7 @@ class DDPDepther(nn.Module):
     # head zoo (depth/.../deformable_head_with_time.py:21,172,285)
     head_variant: str = "deform"
     depth_act: str = "relu"  # 'relu' (parity) | 'softplus' (from-scratch)
+    decoder_remat: bool = False  # jax.checkpoint decoder layers (train memory)
 
     def setup(self):
         if self.backbone_type == "swin":
@@ -62,7 +63,7 @@ class DDPDepther(nn.Module):
             self.embed_dims, num_layers=self.decoder_layers,
             num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim,
             min_depth=self.min_depth, variant=self.head_variant,
-            act=self.depth_act,
+            act=self.depth_act, remat=self.decoder_remat,
         )
         self.down = ConvModule(self.embed_dims, (1, 1))  # 256+1 -> 256 fusion
         self.time_mlp = TimeMLP(dim=self.embed_dims * 4)

@@ -59,6 +59,9 @@ class DDPSegmentor(nn.Module):
     # SelfAlignedDDP training mode (self_aligned_ddp.py:130-185): denoise the
     # model's OWN t=1 prediction instead of the GT latent
     self_aligned: bool = False
+    # jax.checkpoint each decoder layer: required to train the msda path at
+    # flagship shape on a 16G chip (gather temps pad 4x; 82G without remat)
+    decoder_remat: bool = False
 
     def setup(self):
         if self.backbone_type == "swin":
@@ -75,7 +78,7 @@ class DDPSegmentor(nn.Module):
             self.num_classes, self.embed_dims, num_layers=self.decoder_layers,
             num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim,
             attn_type=self.decoder_attn, film=self.decoder_film,
-            pos_type=self.decoder_pos,
+            pos_type=self.decoder_pos, remat=self.decoder_remat,
         )
         self.aux_head = FCNHead(self.num_classes, self.embed_dims)
         # K+1 entries: index num_classes is the ignore/padding class (ddp.py:78)

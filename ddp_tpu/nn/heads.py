@@ -30,6 +30,7 @@ class DeformableHeadWithTime(nn.Module):
     attn_type: str = "msda"  # 'msda' faithful | 'window' TPU-native dense
     film: str = "v1"  # 'v1' | 'v2' | 'v3' layer variants
     pos_type: str = "sine"  # 'sine' | 'learned'
+    remat: bool = False  # jax.checkpoint each decoder layer (train memory)
 
     def _pos(self, h, w, dtype):
         if self.pos_type == "learned":
@@ -54,7 +55,7 @@ class DeformableHeadWithTime(nn.Module):
         q = TimeFiLMEncoder(
             self.num_layers, self.embed_dims, self.num_heads, 1, self.num_points,
             self.ffn_dim, use_time=True, attn_type=self.attn_type,
-            film=self.film, name="encoder",
+            film=self.film, remat=self.remat, name="encoder",
         )(q, time, pos, refs, spatial_shapes)
         q = q.reshape(b, h, w, c)
         return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(q)
@@ -100,6 +101,7 @@ class DeformableDepthHead(nn.Module):
     attn_type: str = "msda"
     variant: str = "deform"  # 'deform' | 'upconv' | 'spade'
     film: str = "v1"
+    remat: bool = False  # jax.checkpoint each decoder layer (train memory)
     # 'relu' is the reference parity form (decode_head.py:258-270). It has a
     # hard zero-gradient region: if conv_depth goes all-negative the head
     # dies (observed: grad_norm=0 from step ~100 on the synthetic converge
@@ -122,7 +124,7 @@ class DeformableDepthHead(nn.Module):
         q = TimeFiLMEncoder(
             self.num_layers, self.embed_dims, self.num_heads, 1, self.num_points,
             self.ffn_dim, use_time=True, attn_type=self.attn_type,
-            film=self.film, name="encoder",
+            film=self.film, remat=self.remat, name="encoder",
         )(q, time, pos, refs, spatial_shapes)
         q = q.reshape(b, h, w, c)
         if self.variant == "upconv":

@@ -215,11 +215,20 @@ class TimeFiLMEncoder(nn.Module):
     attn_type: str = "msda"
     window: int = 8
     film: str = "v1"
+    # rematerialize each layer in the backward pass: the MSDA window-gather
+    # keeps [B·H·P, 2, 2, D] temps that pad 4x on TPU — storing them for
+    # all 6 layers at 512^2/b8 needs 82 GB HBM (measured OOM on v5e-16G);
+    # remat recomputes them instead (standard jax.checkpoint trade)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, query, time, query_pos, ref_points, spatial_shapes):
+        # static_argnums: spatial_shapes is a Python tuple of ints used for
+        # reshapes (arg index 5 counting self) — must stay static under remat
+        layer_cls = (nn.remat(TimeFiLMEncoderLayer, static_argnums=(5,))
+                     if self.remat else TimeFiLMEncoderLayer)
         for i in range(self.num_layers):
-            query = TimeFiLMEncoderLayer(
+            query = layer_cls(
                 self.embed_dims, self.num_heads, self.num_levels, self.num_points,
                 self.ffn_dim, self.use_time, self.attn_type, self.window,
                 shift=0 if i % 2 == 0 else self.window // 2, film=self.film,
