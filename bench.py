@@ -133,9 +133,10 @@ def bench_train(size=512, batch=8, attn="msda", remat=None):
     from ddp_tpu.train.state import TrainState, make_train_step
 
     if remat is None:
-        # the msda backward's padded gather temps need 82G un-remat'd at
-        # this shape (measured OOM on v5e-16G); dense window fits without
-        remat = attn == "msda"
+        # neither decoder's b8 train step fits un-remat'd on a 16G chip
+        # (msda: 82G of padded gather temps; window: activation total) —
+        # remat per decoder layer is the standard config at this shape
+        remat = True
     model = _model(attn, remat=remat)
     variables = _init_variables(model, size)
     tx = make_optimizer(OptimConfig(total_steps=1000, warmup_steps=0),

@@ -190,8 +190,11 @@ def train(
                 chunk.append(pending if pending is not None
                              else next(data_iter))
                 pending = None
-            stacked = {k: np.stack([c[k] for c in chunk])
-                       for k in batch_keys}
+            # tree-stack so nested batch entries (e.g. fusion rulebooks
+            # dicts) stack leaf-wise instead of becoming object arrays
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *[{k: c[k] for k in batch_keys}
+                                            for c in chunk])
             state, logs = chunk_fns[n](state, shard_batch_chunk(mesh, stacked))
             prev, step = step, step + n
             # honor EVERY log-interval crossing inside the chunk, plus the
