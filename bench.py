@@ -208,16 +208,25 @@ def main():
                 bench_infer(wmodel, wvars, 8, size, jnp.bfloat16), 3)
         except Exception as e:  # window path must not sink the bench
             rows["window_bf16_b8"] = f"error: {type(e).__name__}"
+        # flagship (window-decoder) train throughput at per-chip batch 4
+        # (2x the reference's per-GPU batch of 2, segmentation/README '2x8');
+        # b8 exceeds 16G HBM even remat'd (full-res f32 CE temps, 2G each)
         try:
-            train_row = bench_train(size, batch=8)
+            train_row = bench_train(size, batch=4, attn="window")
         except Exception as e:
             train_row = {"error": type(e).__name__}
-        # flagship (window-decoder) train throughput — the decoder decision
-        # blesses 'window' for from-scratch TPU training (msda_notes.md)
-        try:
-            train_row["window"] = bench_train(size, batch=8, attn="window")
-        except Exception as e:
-            train_row["window"] = {"error": type(e).__name__}
+        # msda train row is OPT-IN: compiling the remat'd msda backward
+        # reproducibly crashes the TPU worker process on v5e (2026-08-21,
+        # b4 and b2; libtpu fault, not OOM) — don't let it sink the bench
+        if os.environ.get("DDP_BENCH_MSDA_TRAIN"):
+            try:
+                train_row["msda"] = bench_train(size, batch=2)
+            except Exception as e:
+                train_row["msda"] = {"error": type(e).__name__}
+        else:
+            train_row["msda"] = ("skipped: remat'd msda backward compile "
+                                 "crashes the v5e TPU worker; set "
+                                 "DDP_BENCH_MSDA_TRAIN=1 to attempt")
     else:
         train_row = None
 
