@@ -119,24 +119,11 @@ def _peak_flops(device):
     return None, kind
 
 
-def bench_train(size=512, batch=8, attn="msda", remat=None):
-    """Full train step (fwd+bwd+clip+AdamW, bf16 policy) steps/sec/chip.
-
-    The on-device fori_loop body feeds each step's params into the next and
-    the return value is a live checksum over the FINAL params — every train
-    step is data-dependent on the previous one and on the output, so XLA
-    cannot hoist or dead-code-eliminate the body (VERDICT r2 weak #1: a
-    step-counter-only return let XLA strip the entire fwd+bwd+AdamW body and
-    published a 45,000x-impossible number).
-    """
+def _build_train(size, batch, attn, remat):
+    """Shared construction for the train bench and its FLOPs analysis."""
     from ddp_tpu.train.optim import OptimConfig, make_optimizer
     from ddp_tpu.train.state import TrainState, make_train_step
 
-    if remat is None:
-        # neither decoder's b8 train step fits un-remat'd on a 16G chip
-        # (msda: 82G of padded gather temps; window: activation total) —
-        # remat per decoder layer is the standard config at this shape
-        remat = True
     model = _model(attn, remat=remat)
     variables = _init_variables(model, size)
     tx = make_optimizer(OptimConfig(total_steps=1000, warmup_steps=0),
@@ -150,15 +137,67 @@ def bench_train(size=512, batch=8, attn="msda", remat=None):
         "image": jnp.zeros((batch, size, size, 3), jnp.float32),
         "label": jnp.zeros((batch, size, size), jnp.int32),
     }
+    return raw_step, state, batch_dev
 
-    # FLOPs/step from XLA's own cost model of the lowered (uncompiled) step —
-    # basis for the MFU row (reference discipline: tools/get_flops.py).
+
+def _cost_flops(raw_step, state, batch_dev):
     try:
         cost = jax.jit(lambda s, b: raw_step(s, b)[0]).lower(
             state, batch_dev).cost_analysis()
-        flops_per_step = float(cost.get("flops", 0.0)) or None
+        return float(cost.get("flops", 0.0)) or None
     except Exception:
-        flops_per_step = None
+        return None
+
+
+def _train_flops_local(size, batch, attn, remat):
+    """Run inside a CPU-pinned process: lower the step, return its FLOPs."""
+    raw_step, state, batch_dev = _build_train(size, batch, attn, remat)
+    return _cost_flops(raw_step, state, batch_dev)
+
+
+def _train_flops_subprocess(size, batch, attn, remat):
+    import subprocess
+
+    code = ("import jax; jax.config.update('jax_platforms','cpu')\n"
+            "import bench\n"
+            f"f = bench._train_flops_local({size},{batch},{attn!r},{remat})\n"
+            "print('FLOPS', f)\n")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=900, cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in out.stdout.splitlines():
+            if line.startswith("FLOPS ") and line.split()[1] != "None":
+                return float(line.split()[1])
+    except Exception:
+        pass
+    return None
+
+
+def bench_train(size=512, batch=8, attn="msda", remat=None):
+    """Full train step (fwd+bwd+clip+AdamW, bf16 policy) steps/sec/chip.
+
+    The on-device fori_loop body feeds each step's params into the next and
+    the return value is a live checksum over the FINAL params — every train
+    step is data-dependent on the previous one and on the output, so XLA
+    cannot hoist or dead-code-eliminate the body (VERDICT r2 weak #1: a
+    step-counter-only return let XLA strip the entire fwd+bwd+AdamW body and
+    published a 45,000x-impossible number).
+    """
+    if remat is None:
+        # neither decoder's b8 train step fits un-remat'd on a 16G chip
+        # (msda: 82G of padded gather temps; window: activation total) —
+        # remat per decoder layer is the standard config at this shape
+        remat = True
+    raw_step, state, batch_dev = _build_train(size, batch, attn, remat)
+
+    # FLOPs/step from XLA's own cost model of the lowered (uncompiled) step —
+    # basis for the MFU row (reference discipline: tools/get_flops.py). The
+    # axon backend's lowering returns no cost analysis, so fall back to a
+    # CPU-pinned subprocess.
+    flops_per_step = _cost_flops(raw_step, state, batch_dev)
+    if flops_per_step is None:
+        flops_per_step = _train_flops_subprocess(size, batch, attn, remat)
 
     @jax.jit
     def train_n(state, batch, n):
