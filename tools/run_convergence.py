@@ -387,7 +387,7 @@ def eval_controlnet(variables, mc, workdir, steps=20, guidance=3.0,
             "samples_png": png}
 
 
-def pretrain_vae(mc, iters=800, batch=8, lr=2e-3, seed=0):
+def pretrain_vae(mc, iters=2500, batch=8, lr=2e-3, seed=0):
     """Stage-1 VAE pretraining for the from-scratch ControlNet demo.
 
     The reference's first stage is a PRETRAINED, frozen AutoencoderKL (SD
@@ -397,6 +397,11 @@ def pretrain_vae(mc, iters=800, batch=8, lr=2e-3, seed=0):
     finding: 600-iter run reached eps-loss 0.069 yet MAE 0.68 vs target).
     Trains recon+KL on fill50k images; the params are injected under
     ldm/first_stage_model and frozen via the preset's lr_mult-0 rule.
+
+    r3 ceiling analysis: at 800 pretrain iters the VAE recon (MSE ~0.10)
+    is itself washed-out — even a perfect UNet would generate those
+    pastels. The default budget is now 2500; the next quality lever after
+    that is a shallower VAE (4x downsample -> 16x16 latent at 64px).
     """
     import jax
     import jax.numpy as jnp
