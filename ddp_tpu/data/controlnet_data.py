@@ -83,6 +83,55 @@ class SyntheticFill50k:
         }
 
 
+class Fill50kDataset:
+    """Real fill50k PNG pairs from disk.
+
+    Parity target: controlnet/tutorial_dataset.py:1-40 — reads
+    ``data_root/prompt.json`` (JSON-lines of {"source", "target", "prompt"}),
+    loads the source as the [0,1] hint and the target as the [-1,1] image.
+    Images are bilinearly resized to ``size`` (the reference trains at the
+    native 512; our presets train smaller)."""
+
+    def __init__(self, data_root: str, size: int = 64, max_len: int = MAX_LEN):
+        import json
+        import os
+
+        self.data_root = data_root
+        self.size = size
+        self.max_len = max_len
+        self.items: List[dict] = []
+        path = os.path.join(data_root, "prompt.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self.items.append(json.loads(line))
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        import os
+
+        from PIL import Image
+
+        item = self.items[idx]
+        s = self.size
+
+        def _load(rel):
+            im = Image.open(os.path.join(self.data_root, rel)).convert("RGB")
+            if im.size != (s, s):
+                im = im.resize((s, s), Image.BILINEAR)
+            return np.asarray(im, np.float32)
+
+        return {
+            "image": (_load(item["target"]) / 127.5 - 1.0).astype(np.float32),
+            "hint": (_load(item["source"]) / 255.0).astype(np.float32),
+            "ids": tokenize(item["prompt"], self.max_len),
+        }
+
+
 def controlnet_batch_iterator(
     ds, batch_size: int, seed: int = 0, rank: int = 0, world: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:

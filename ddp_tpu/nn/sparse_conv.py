@@ -39,8 +39,49 @@ def sparse_conv_gather_gemm(
                       preferred_element_type=jnp.float32).astype(feats.dtype)
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over the ACTIVE rows of a padded [V, C] voxel tensor.
+
+    The reference's spconv tensors hold only active voxels, so its
+    nn.BatchNorm1d statistics span exactly the active set
+    (sparse_encoder.py BN1d(eps 1e-3)). Our static-capacity padding would
+    otherwise pour thousands of zero rows into the mean/var (r3 fusion run:
+    ~200 active of 1024 rows → stats scaled ~5x off), which starved the
+    lidar branch (r4 diagnosis: zero_lidar cost only 0.02 mIoU).
+    Variable names match flax BatchNorm so checkpoints stay structural."""
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 train: bool = True) -> jnp.ndarray:
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if train:
+            w = mask.astype(jnp.float32)[:, None]
+            n = jnp.maximum(w.sum(), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = (xf * w).sum(axis=0) / n
+            var = (jnp.square(xf - mean) * w).sum(axis=0) / n
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+            var + self.epsilon).astype(x.dtype)
+        return y * scale + bias
+
+
 class SparseConvLayer(nn.Module):
-    """conv → BN1d(eps 1e-3) → ReLU over active voxels."""
+    """conv → BN1d(eps 1e-3, active rows only) → ReLU over active voxels."""
 
     out_channels: int
     num_offsets: int = 27
@@ -53,11 +94,16 @@ class SparseConvLayer(nn.Module):
         w = self.param("kernel", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (self.num_offsets, cin, self.out_channels))
         y = sparse_conv_gather_gemm(feats, gather, w)
-        y = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                         momentum=0.99, name="bn")(y)
+        # a row is an active output site iff any kernel offset feeds it
+        # (subm rulebooks always contain the center offset for active sites)
+        active = jnp.any(gather >= 0, axis=0)
+        y = MaskedBatchNorm(name="bn")(y, active, train)
         if self.use_act:
             y = nn.relu(y)
-        return y
+        # keep padding rows at exactly zero (BN's bias would leak a constant
+        # into them; they'd be masked at densification but pollute gathers
+        # of strided levels whose rulebooks can reference any padded row)
+        return y * active[:, None].astype(y.dtype)
 
 
 class SparseEncoder(nn.Module):

@@ -213,9 +213,15 @@ def ms_deform_attn(
     Mosaic cannot express multi-vreg dynamic gathers (verified on v5e), so
     the windowed lax.gather IS the TPU-native implementation; see
     ops/pallas/msda_notes.md for the measurements behind this decision.
+
+    The DDP_MSDA_IMPL env var overrides 'auto' (bisect tool
+    tools/bisect_msda_train.py; msda_train_notes.md records why).
     """
     if impl == "auto":
-        impl = "window" if jax.default_backend() == "tpu" else "xla"
+        import os
+
+        impl = os.environ.get("DDP_MSDA_IMPL") or (
+            "window" if jax.default_backend() == "tpu" else "xla")
     if impl == "window":
         return ms_deform_attn_window(
             value, spatial_shapes, sampling_locations, attention_weights)

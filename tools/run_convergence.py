@@ -474,6 +474,12 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
         ck = os.path.join(cfg.runtime.workdir, "ckpts")
         if os.path.isdir(ck):
             shutil.rmtree(ck)
+        # rotate the train log too: appending a fresh run to the old log
+        # interleaves abandoned trajectories with the published one
+        # (advisor r3); keep one .prev for forensics
+        tl = os.path.join(cfg.runtime.workdir, "train_log.jsonl")
+        if os.path.exists(tl):
+            os.replace(tl, tl + ".prev")
     os.makedirs(cfg.runtime.workdir, exist_ok=True)
     print(f"=== {name} ({preset}) ===", flush=True)
 
