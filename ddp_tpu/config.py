@@ -58,6 +58,9 @@ class ModelConfig:
     bev_zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
     bev_dbound: Tuple[float, float, float] = (1.0, 60.0, 0.5)
     bev_lss_channels: int = 80
+    # depth-bin pruning in the LSS lift (top-k of D bins, 0 = off) — the
+    # sensor-rate lever measured in tools/bench_extra.py
+    bev_depth_topk: int = 0
     bev_blocks: Tuple = ((2, 160, 2), (2, 320, 2), (2, 640, 1))
     # lidar branch (fusion)
     bev_lidar_channels: int = 128
@@ -568,6 +571,7 @@ def build_model(mc: ModelConfig):
             zbound=mc.bev_zbound,
             dbound=mc.bev_dbound,
             lss_out_channels=mc.bev_lss_channels,
+            depth_topk=mc.bev_depth_topk,
             bev_blocks=mc.bev_blocks,
         )
     if mc.task == "bev_fusion":
@@ -593,6 +597,7 @@ def build_model(mc: ModelConfig):
             zbound=mc.bev_zbound,
             dbound=mc.bev_dbound,
             lss_out_channels=mc.bev_lss_channels,
+            depth_topk=mc.bev_depth_topk,
             bev_blocks=mc.bev_blocks,
             lidar_channels=mc.bev_lidar_channels,
             lidar_dense_hw=mc.bev_lidar_dense_hw,

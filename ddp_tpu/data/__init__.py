@@ -18,32 +18,51 @@ def make_train_iter(cfg):
 
     rank, world = jax.process_index(), jax.process_count()
     if cfg.model.task == "controlnet":
-        from .controlnet_data import SyntheticFill50k, controlnet_batch_iterator
+        from .controlnet_data import (Fill50kDataset, SyntheticFill50k,
+                                      controlnet_batch_iterator)
 
-        if cfg.data.dataset != "synthetic":
-            raise NotImplementedError(
-                "real fill50k needs the downloaded PNG pairs; the synthetic "
-                "generator covers the training-path contract")
-        ds = SyntheticFill50k(size=cfg.model.cn_image_size)
+        if cfg.data.dataset == "synthetic":
+            ds = SyntheticFill50k(size=cfg.model.cn_image_size)
+        else:
+            # real PNG pairs (controlnet/tutorial_dataset.py contract)
+            ds = Fill50kDataset(cfg.data.data_root,
+                                size=cfg.model.cn_image_size)
+            if len(ds) == 0:
+                raise FileNotFoundError(
+                    f"no fill50k prompt.json under {cfg.data.data_root}")
         return controlnet_batch_iterator(ds, cfg.data.batch_size,
                                          seed=cfg.runtime.seed,
                                          rank=rank, world=world)
     if cfg.model.task == "bev_fusion":
-        from .bev_datasets import SyntheticFusionDataset, fusion_batch_iterator
+        from .bev_datasets import (NuScenesFusionDataset,
+                                   SyntheticFusionDataset,
+                                   fusion_batch_iterator)
 
-        if cfg.data.dataset != "synthetic":
-            raise NotImplementedError(
-                "nuScenes fusion loading needs the lidar sweep files; "
-                "preprocess with tools/prepare_nuscenes.py (synthetic works)")
-        ds = SyntheticFusionDataset(
-            sparse_shape=cfg.model.bev_sparse_shape,
-            caps=cfg.model.bev_voxel_caps,
-            voxel_size=cfg.model.bev_voxel_size,
-            num_cams=cfg.model.bev_num_cams,
-            image_size=cfg.model.bev_image_size,
-            out_grid=cfg.model.bev_out_grid,
-            num_classes=cfg.model.num_classes,
-            scope=cfg.model.bev_xbound[1], length=512)
+        if cfg.data.dataset == "synthetic":
+            ds = SyntheticFusionDataset(
+                sparse_shape=cfg.model.bev_sparse_shape,
+                caps=cfg.model.bev_voxel_caps,
+                voxel_size=cfg.model.bev_voxel_size,
+                num_cams=cfg.model.bev_num_cams,
+                image_size=cfg.model.bev_image_size,
+                out_grid=cfg.model.bev_out_grid,
+                num_classes=cfg.model.num_classes,
+                scope=cfg.model.bev_xbound[1], length=512)
+        else:
+            # nuScenes infos pkl (tools/prepare_nuscenes.py builds it from a
+            # raw nuScenes tree) + lidar sweeps voxelized host-side
+            ds = NuScenesFusionDataset(
+                cfg.data.data_root, "train",
+                image_size=cfg.data.crop_size,
+                out_grid=cfg.model.bev_out_grid,
+                sparse_shape=cfg.model.bev_sparse_shape,
+                caps=cfg.model.bev_voxel_caps,
+                voxel_size=cfg.model.bev_voxel_size,
+                scope=cfg.model.bev_xbound[1])
+            if len(ds) == 0:
+                raise FileNotFoundError(
+                    f"no nuScenes infos under {cfg.data.data_root}; run "
+                    "tools/prepare_nuscenes.py on the raw tree first")
         return fusion_batch_iterator(ds, cfg.data.batch_size,
                                      seed=cfg.runtime.seed, mean=cfg.data.mean,
                                      std=cfg.data.std, rank=rank, world=world)

@@ -180,6 +180,71 @@ class NuScenesBEVDataset:
 FUSION_BATCH_KEYS = BEV_BATCH_KEYS[:-1] + ("voxel_feats", "rulebooks", "label")
 
 
+class NuScenesFusionDataset(NuScenesBEVDataset):
+    """NuScenesBEVDataset + the lidar branch inputs.
+
+    Parity target: bev/mmdet3d/datasets/pipelines/loading.py —
+    LoadPointsFromFile (float32 .bin, load_dim 5: x,y,z,intensity,ring) and
+    LoadPointsFromMultiSweeps (key-frame time channel zeroed; each sweep's
+    points rotated by sensor2lidar_rotation, shifted by
+    sensor2lidar_translation, time channel = key_ts - sweep_ts in seconds;
+    up to ``sweeps_num`` nearest sweeps). The assembled cloud is then
+    hard-voxelized and spconv rulebooks are built host-side (the TPU-first
+    split: static-capacity rulebooks on host, gather-GEMM on device).
+    """
+
+    def __init__(self, data_root: str, split: str = "train",
+                 image_size=(256, 704), out_grid: int = 200,
+                 sparse_shape=(1024, 1024, 41),
+                 caps=(120_000, 60_000, 30_000, 15_000, 15_000),
+                 voxel_size=(0.1, 0.1, 0.2), z_range=(-5.0, 3.2),
+                 scope: float = 51.2, sweeps_num: int = 10,
+                 max_points_per_voxel: int = 10):
+        super().__init__(data_root, split, image_size, out_grid)
+        self.sparse_shape = tuple(sparse_shape)
+        self.caps = tuple(caps)
+        self.voxel_size = tuple(voxel_size)
+        self.pc_range = (-scope, -scope, z_range[0], scope, scope, z_range[1])
+        self.sweeps_num = sweeps_num
+        self.max_points = max_points_per_voxel
+
+    def _load_points(self, rel_path: str) -> np.ndarray:
+        path = os.path.join(self.data_root, rel_path)
+        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
+        return pts
+
+    def load(self, idx: int, noise_seed=None) -> Dict[str, np.ndarray]:
+        # noise_seed is accepted for iterator compatibility with the
+        # synthetic dataset (which resamples its lidar pattern per epoch);
+        # real sweeps are what they are
+        from .. import native
+        from ..nn.sparse_conv import (build_sparse_encoder_rulebooks,
+                                      mean_voxel_features)
+
+        s = super().load(idx)
+        info = self.infos[idx]
+        pts = self._load_points(info["lidar_path"])
+        pts[:, 4] = 0.0  # ring index -> sweep time-lag channel
+        clouds = [pts]
+        ts = float(info.get("timestamp", 0)) / 1e6
+        for sweep in info.get("sweeps", [])[: self.sweeps_num]:
+            p = self._load_points(sweep["data_path"])
+            rot = np.asarray(sweep["sensor2lidar_rotation"], np.float32)
+            p[:, :3] = p[:, :3] @ rot.T
+            p[:, :3] += np.asarray(sweep["sensor2lidar_translation"],
+                                   np.float32)
+            p[:, 4] = ts - float(sweep.get("timestamp", 0)) / 1e6
+            clouds.append(p)
+        pts = np.concatenate(clouds, axis=0)
+        voxels, coords, counts, nv = native.hard_voxelize(
+            pts, self.pc_range, self.voxel_size,
+            max_points=self.max_points, max_voxels=self.caps[0])
+        s["voxel_feats"] = mean_voxel_features(voxels, counts)
+        s["rulebooks"] = build_sparse_encoder_rulebooks(
+            coords, nv, self.sparse_shape, self.caps)
+        return s
+
+
 class SyntheticFusionDataset(SyntheticBEVDataset):
     """SyntheticBEVDataset plus a lidar point cloud: points sampled on the
     same objects that appear in the images and BEV masks, voxelized and

@@ -184,12 +184,11 @@ class DDPSegmentor(nn.Module):
         return loss, logs
 
     # --- inference -------------------------------------------------------
-    def sample(self, img: jnp.ndarray) -> jnp.ndarray:
-        """Whole-image inference: encode once, multi-step rollout, upsample.
-
-        Returns class probabilities [B, H, W, K] (softmax-accumulated when
-        cfg.accumulation, matching ddim_sample ddp.py:215-246).
-        """
+    def _rollout_hypotheses(self, img: jnp.ndarray) -> jnp.ndarray:
+        """Encode once, run the randsteps-folded rollout; return the per-
+        hypothesis class probabilities [r, B, h/4, w/4, K] BEFORE ensemble
+        averaging (the reference's multiple-hypothesis machinery,
+        ddp.py:219,241-245)."""
         cfg = self.diffusion
         x = self.extract_feat(img, train=False)
         b, h, w, c = x.shape
@@ -204,9 +203,48 @@ class DDPSegmentor(nn.Module):
         rng = self.make_rng("diffusion")
         out = diff.rollout(cfg, rng, denoise_fn, (r * b, h, w, c), dtype=x.dtype,
                            unroll=True)
-        out = out.reshape(r, b, h, w, self.num_classes).mean(axis=0)
+        return out.reshape(r, b, h, w, self.num_classes)
+
+    def sample(self, img: jnp.ndarray) -> jnp.ndarray:
+        """Whole-image inference: encode once, multi-step rollout, upsample.
+
+        Returns class probabilities [B, H, W, K] (softmax-accumulated when
+        cfg.accumulation, matching ddim_sample ddp.py:215-246).
+        """
+        out = self._rollout_hypotheses(img).mean(axis=0)
         return resize(out, img.shape[1:3], mode="bilinear",
                       align_corners=self.align_corners)
+
+    def sample_with_uncertainty(self, img: jnp.ndarray):
+        """Inference + per-pixel uncertainty maps from the randsteps ensemble
+        (BASELINE config #3 "multi-step denoising with uncertainty maps").
+
+        Returns (probs [B, H, W, K], uncertainty dict):
+          variance — mean over classes of the across-hypothesis variance of
+                     the class probabilities (disagreement between the r
+                     independent rollouts; 0 when randsteps == 1)
+          entropy  — predictive entropy (nats) of the ensemble-mean
+                     distribution (total uncertainty, includes the model's
+                     own softness)
+        """
+        hyp = self._rollout_hypotheses(img)  # [r, B, h, w, K]
+        if not self.diffusion.accumulation:
+            # non-accumulated rollouts return final-step logits; uncertainty
+            # statistics need a probability simplex per hypothesis
+            hyp = jax.nn.softmax(hyp, axis=-1)
+        probs = hyp.mean(axis=0)
+        var = hyp.var(axis=0).mean(axis=-1)  # [B, h, w]
+        p = jnp.clip(probs / jnp.maximum(
+            probs.sum(axis=-1, keepdims=True), 1e-12), 1e-12, 1.0)
+        ent = -(p * jnp.log(p)).sum(axis=-1)  # [B, h, w]
+        full = img.shape[1:3]
+        probs_up = resize(probs, full, mode="bilinear",
+                          align_corners=self.align_corners)
+        var_up = resize(var[..., None], full, mode="bilinear",
+                        align_corners=self.align_corners)[..., 0]
+        ent_up = resize(ent[..., None], full, mode="bilinear",
+                        align_corners=self.align_corners)[..., 0]
+        return probs_up, {"variance": var_up, "entropy": ent_up}
 
     def predict(self, img: jnp.ndarray) -> jnp.ndarray:
         """argmax segmentation map [B, H, W]."""

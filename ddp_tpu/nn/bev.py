@@ -79,6 +79,11 @@ class LSSTransform(nn.Module):
     zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
     dbound: Tuple[float, float, float] = (1.0, 60.0, 0.5)
     downsample: int = 2
+    # static depth-bin pruning (bev_pool_notes.md lever #1): keep only the
+    # top-k depth bins per pixel (renormalized), shrinking both the
+    # depth⊗feature outer product and the pool row count by D/k. 0 = off
+    # (reference behavior: all D bins, bev_pool filters only out-of-range).
+    depth_topk: int = 0
 
     @property
     def depth_bins(self) -> int:
@@ -105,19 +110,34 @@ class LSSTransform(nn.Module):
 
         x = nn.Conv(d + ch, (1, 1), name="depthnet")(feats)
         depth = jax.nn.softmax(x[..., :d], axis=-1)  # [B, N, fH, fW, D]
-        # outer product: [B, N, fH, fW, D, C]
-        cam = depth[..., None] * x[..., d:][..., None, :]
-        # to [B, N, D, fH, fW, C]
-        cam = jnp.moveaxis(cam, -2, 2)
 
         frustum = jnp.asarray(frustum_grid(self.image_size, self.feature_size,
                                            self.dbound))
         geom = lss_geometry(frustum, camera2lidar_rots, camera2lidar_trans,
                             intrins, post_rots, post_trans)  # [B,N,D,fH,fW,3]
 
+        k = self.depth_topk
+        if k and k < d:
+            # prune to the k most likely depth bins per pixel (static
+            # capacity): the softmax concentrates mass in a few bins, so the
+            # dropped rows carry near-zero features anyway. Renormalize so
+            # pooled feature magnitude is preserved.
+            topv, topi = jax.lax.top_k(depth, k)  # [B, N, fH, fW, k]
+            topv = topv / jnp.maximum(topv.sum(axis=-1, keepdims=True), 1e-6)
+            cam = topv[..., None] * x[..., d:][..., None, :]
+            cam = jnp.moveaxis(cam, -2, 2)  # [B, N, k, fH, fW, C]
+            idx = jnp.moveaxis(topi, -1, 2)[..., None]  # [B,N,k,fH,fW,1]
+            geom = jnp.take_along_axis(geom, idx, axis=2)
+            d_eff = k
+        else:
+            # outer product: [B, N, fH, fW, D, C] -> [B, N, D, fH, fW, C]
+            cam = depth[..., None] * x[..., d:][..., None, :]
+            cam = jnp.moveaxis(cam, -2, 2)
+            d_eff = d
+
         nx, dx, bx = self.grid
         coords, valid = quantize_geometry(geom, tuple(bx), tuple(dx), tuple(nx))
-        p = n * d * fh * fw
+        p = n * d_eff * fh * fw
         pooled = bev_pool(
             cam.reshape(b, p, ch), coords.reshape(b, p, 3), valid.reshape(b, p),
             nx[0], nx[1], nx[2],

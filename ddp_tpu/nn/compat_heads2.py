@@ -95,8 +95,12 @@ class _SABlock(nn.Module):
             return x
 
         q = project(query, "query")
-        # share whenever the flag is set — no object-identity gate (ADVICE r2)
-        k = q if self.share_key_query else project(key, "key")
+        # share_key_query shares the projection WEIGHTS (the reference sets
+        # key_project = query_project, self_attention_block.py:39,57): the
+        # same Dense stack is applied to the KEY tensor, whose token count
+        # may differ from the query's (APNB: PPM-pooled keys) — sharing the
+        # projected activations instead would shape-fail there (advisor r3)
+        k = project(key, "query" if self.share_key_query else "key")
         v_dim = self.channels if self.with_out else self.out_channels
         v = nn.Dense(v_dim, name="value")(key)
         attn = jnp.einsum("bqc,bkc->bqk", q, k) * (self.channels ** -0.5)
@@ -154,8 +158,10 @@ class ANNHead(nn.Module):
         # APNB: self-attention with pyramid-pooled keys
         q2 = y.reshape(b, h * w, self.channels)
         k2 = _ppm_concat(y, self.key_pool_scales)
+        # reference APNB shares the key/query projection (ann_head.py:162)
         ctx2 = _SABlock(self.project_channels, self.channels,
-                        num_qk_convs=1, name="apnb")(q2, k2, train=train)
+                        num_qk_convs=1, share_key_query=True,
+                        name="apnb")(q2, k2, train=train)
         y2 = _TokenConvModule(self.channels, norm=self.norm, act="relu",
                               name="apnb_bottleneck")(
             jnp.concatenate([ctx2, q2], axis=-1), train=train)

@@ -75,9 +75,21 @@ def make_nuscenes():
     rng = np.random.default_rng(3)
     r = os.path.join(ROOT, "nuscenes")
     os.makedirs(os.path.join(r, "samples"), exist_ok=True)
+    os.makedirs(os.path.join(r, "sweeps"), exist_ok=True)
     os.makedirs(os.path.join(r, "maps_bev"), exist_ok=True)
     cams = ["CAM_FRONT", "CAM_FRONT_LEFT", "CAM_FRONT_RIGHT", "CAM_BACK",
             "CAM_BACK_LEFT", "CAM_BACK_RIGHT"]
+
+    def points_bin(path, n):
+        # float32 [n, 5]: x, y, z, intensity, ring — LoadPointsFromFile shape
+        pts = np.zeros((n, 5), np.float32)
+        pts[:, 0] = rng.uniform(-40, 40, n)
+        pts[:, 1] = rng.uniform(-40, 40, n)
+        pts[:, 2] = rng.uniform(-3, 2, n)
+        pts[:, 3] = rng.uniform(0, 255, n)
+        pts[:, 4] = rng.integers(0, 32, n)
+        pts.tofile(os.path.join(r, path))
+
     infos = []
     for s in range(2):
         token = f"tinytoken{s}"
@@ -96,7 +108,24 @@ def make_nuscenes():
                 "camera_intrinsics": np.array(
                     [[60.0, 0, 48.0], [0, 60.0, 24.0], [0, 0, 1]]),
             }
-        infos.append({"token": token, "cams": cam_dict})
+        lidar_rel = f"samples/{token}_LIDAR_TOP.bin"
+        points_bin(lidar_rel, 300)
+        sweeps = []
+        for sw in range(2):
+            srel = f"sweeps/{token}_sweep{sw}_LIDAR_TOP.bin"
+            points_bin(srel, 200)
+            ang = 0.02 * (sw + 1)
+            sweeps.append({
+                "data_path": srel,
+                "sensor2lidar_rotation": np.array(
+                    [[np.cos(ang), -np.sin(ang), 0],
+                     [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]),
+                "sensor2lidar_translation": np.array([0.3 * (sw + 1), 0, 0]),
+                "timestamp": 1_000_000 * s - 50_000 * (sw + 1),
+            })
+        infos.append({"token": token, "cams": cam_dict,
+                      "lidar_path": lidar_rel, "sweeps": sweeps,
+                      "timestamp": 1_000_000 * s})
         masks = (rng.random((3, 200, 200)) > 0.7).astype(np.uint8)
         np.savez_compressed(os.path.join(r, "maps_bev", f"{token}.npz"),
                             masks=masks)
@@ -104,11 +133,154 @@ def make_nuscenes():
         pickle.dump({"infos": infos}, f)
 
 
+def make_fill50k():
+    """2 real PNG pairs in the tutorial_dataset.py layout (source/target
+    dirs + JSON-lines prompt.json)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from ddp_tpu.data.controlnet_data import SyntheticFill50k
+
+    r = os.path.join(ROOT, "fill50k")
+    os.makedirs(os.path.join(r, "source"), exist_ok=True)
+    os.makedirs(os.path.join(r, "target"), exist_ok=True)
+    ds = SyntheticFill50k(size=64)
+    prompts = ["red circle with blue background",
+               "green circle with yellow background"]
+    with open(os.path.join(r, "prompt.json"), "w") as f:
+        for i in range(2):
+            s = ds.load(i)
+            Image.fromarray(
+                (s["hint"] * 255).astype(np.uint8)).save(
+                os.path.join(r, "source", f"{i}.png"))
+            Image.fromarray(
+                ((s["image"] + 1) * 127.5).astype(np.uint8)).save(
+                os.path.join(r, "target", f"{i}.png"))
+            f.write(json.dumps({"source": f"source/{i}.png",
+                                "target": f"target/{i}.png",
+                                "prompt": prompts[i]}) + "\n")
+
+
+def make_raw_nuscenes():
+    """A 1-scene / 2-keyframe RAW nuScenes tree (JSON tables + bins + jpgs +
+    a map-expansion json) exercising tools/prepare_nuscenes.py end-to-end."""
+    import json
+
+    rng = np.random.default_rng(4)
+    r = os.path.join(ROOT, "nuscenes_raw")
+    v = os.path.join(r, "v1.0-mini")
+    os.makedirs(v, exist_ok=True)
+    for sub in ("samples/LIDAR_TOP", "sweeps/LIDAR_TOP",
+                "maps/expansion"):
+        os.makedirs(os.path.join(r, sub), exist_ok=True)
+    cams = ["CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT", "CAM_BACK",
+            "CAM_BACK_LEFT", "CAM_BACK_RIGHT"]
+    for cam in cams:
+        os.makedirs(os.path.join(r, "samples", cam), exist_ok=True)
+
+    def ident_q():
+        return [1.0, 0.0, 0.0, 0.0]
+
+    sensor, calib, ego, sample, sdata = [], [], [], [], []
+    sensor.append({"token": "sen_lidar", "channel": "LIDAR_TOP",
+                   "modality": "lidar"})
+    calib.append({"token": "cs_lidar", "sensor_token": "sen_lidar",
+                  "rotation": ident_q(), "translation": [0.9, 0.0, 1.8],
+                  "camera_intrinsic": []})
+    for ci, cam in enumerate(cams):
+        yaw = ci * np.pi / 3
+        q = [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
+        sensor.append({"token": f"sen_{cam}", "channel": cam,
+                       "modality": "camera"})
+        calib.append({"token": f"cs_{cam}", "sensor_token": f"sen_{cam}",
+                      "rotation": q, "translation": [1.0, 0.0, 1.5],
+                      "camera_intrinsic": [[60.0, 0, 48.0], [0, 60.0, 24.0],
+                                           [0, 0, 1]]})
+
+    scene = [{"token": "scene0", "name": "scene-0001", "log_token": "log0"}]
+    log = [{"token": "log0", "location": "tiny-town"}]
+
+    def add_pose(tok, t_us, x):
+        ego.append({"token": tok, "timestamp": t_us,
+                    "rotation": ident_q(),
+                    "translation": [x, 0.0, 0.0]})
+
+    sd_tokens = {}
+    for si in range(2):
+        t_us = 1_000_000 * (si + 1)
+        sample.append({"token": f"smp{si}", "timestamp": t_us,
+                       "scene_token": "scene0"})
+        # key lidar
+        add_pose(f"ep_l{si}", t_us, 2.0 * si)
+        rel = f"samples/LIDAR_TOP/key{si}.bin"
+        pts = np.zeros((200, 5), np.float32)
+        pts[:, 0] = rng.uniform(-30, 30, 200)
+        pts[:, 1] = rng.uniform(-30, 30, 200)
+        pts[:, 2] = rng.uniform(-2, 1, 200)
+        pts.tofile(os.path.join(r, rel))
+        sd_tokens[f"lid{si}"] = {
+            "token": f"lid{si}", "sample_token": f"smp{si}",
+            "calibrated_sensor_token": "cs_lidar",
+            "ego_pose_token": f"ep_l{si}", "timestamp": t_us,
+            "is_key_frame": True, "filename": rel,
+            "prev": f"swp{si}" if si >= 0 else "", "next": ""}
+        # one intermediate (non-key) sweep before each keyframe
+        add_pose(f"ep_s{si}", t_us - 50_000, 2.0 * si - 0.5)
+        srel = f"sweeps/LIDAR_TOP/sweep{si}.bin"
+        pts = np.zeros((150, 5), np.float32)
+        pts[:, 0] = rng.uniform(-30, 30, 150)
+        pts[:, 1] = rng.uniform(-30, 30, 150)
+        pts.tofile(os.path.join(r, srel))
+        sd_tokens[f"swp{si}"] = {
+            "token": f"swp{si}", "sample_token": f"smp{si}",
+            "calibrated_sensor_token": "cs_lidar",
+            "ego_pose_token": f"ep_s{si}", "timestamp": t_us - 50_000,
+            "is_key_frame": False, "filename": srel, "prev": "", "next": ""}
+        for cam in cams:
+            add_pose(f"ep_{cam}{si}", t_us, 2.0 * si)
+            crel = f"samples/{cam}/key{si}.jpg"
+            _img(rng, 48, 96).save(os.path.join(r, crel))
+            sd_tokens[f"{cam}{si}"] = {
+                "token": f"{cam}{si}", "sample_token": f"smp{si}",
+                "calibrated_sensor_token": f"cs_{cam}",
+                "ego_pose_token": f"ep_{cam}{si}", "timestamp": t_us,
+                "is_key_frame": True, "filename": crel, "prev": "",
+                "next": ""}
+    sdata = list(sd_tokens.values())
+
+    # map: one drivable square + one divider line near the origin
+    nodes = [{"token": f"n{i}", "x": x, "y": y} for i, (x, y) in enumerate(
+        [(-20, -20), (20, -20), (20, 20), (-20, 20), (-15, 0), (15, 0)])]
+    map_json = {
+        "node": nodes,
+        "polygon": [{"token": "p0",
+                     "exterior_node_tokens": ["n0", "n1", "n2", "n3"],
+                     "holes": []}],
+        "line": [{"token": "l0", "node_tokens": ["n4", "n5"]}],
+        "drivable_area": [{"token": "d0", "polygon_tokens": ["p0"]}],
+        "road_divider": [{"token": "rd0", "line_token": "l0"}],
+    }
+    with open(os.path.join(r, "maps", "expansion", "tiny-town.json"),
+              "w") as f:
+        json.dump(map_json, f)
+
+    tables = {"sample": sample, "sample_data": sdata,
+              "calibrated_sensor": calib, "ego_pose": ego, "sensor": sensor,
+              "scene": scene, "log": log}
+    for name, rows in tables.items():
+        with open(os.path.join(v, f"{name}.json"), "w") as f:
+            json.dump(rows, f)
+
+
 if __name__ == "__main__":
     make_ade()
     make_cityscapes()
     make_nyu()
     make_nuscenes()
+    make_fill50k()
+    make_raw_nuscenes()
     total = sum(os.path.getsize(os.path.join(d, f))
                 for d, _, fs in os.walk(ROOT) for f in fs)
     print(f"wrote tests/data ({total/1024:.0f} KiB)")

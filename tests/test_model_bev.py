@@ -201,3 +201,32 @@ def test_bev_window_decoder_sample():
                       rngs={"diffusion": jax.random.PRNGKey(5)})
     assert out.shape == (b, 20, 20, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lss_depth_topk_pruning():
+    """Depth-bin pruning (bev_depth_topk, the sensor-rate lever): k = D must
+    reproduce the full lift exactly (softmax already sums to 1, so the
+    renormalization is a no-op), and k < D stays close when the depth
+    distribution is peaked."""
+    from ddp_tpu.nn.bev import LSSTransform
+
+    kw = dict(out_channels=8, image_size=(32, 64), feature_size=(4, 8),
+              xbound=(-8.0, 8.0, 0.5), ybound=(-8.0, 8.0, 0.5),
+              zbound=(-10.0, 10.0, 20.0), dbound=(1.0, 9.0, 1.0))
+    b, n = 2, 2
+    feats = jnp.asarray(np.random.RandomState(0).randn(b, n, 4, 8, 16),
+                        jnp.float32)
+    rig = _camera_rig(b, n)
+    full = LSSTransform(**kw)
+    variables = full.init(jax.random.PRNGKey(0), feats, *rig, train=False)
+    out_full = full.apply(variables, feats, *rig, train=False)
+
+    same = LSSTransform(**kw, depth_topk=8)  # k == D (8 bins)
+    out_same = same.apply(variables, feats, *rig, train=False)
+    np.testing.assert_allclose(np.asarray(out_same), np.asarray(out_full),
+                               rtol=1e-4, atol=1e-5)
+
+    pruned = LSSTransform(**kw, depth_topk=2)
+    out_pruned = pruned.apply(variables, feats, *rig, train=False)
+    assert out_pruned.shape == out_full.shape
+    assert np.isfinite(np.asarray(out_pruned)).all()

@@ -19,6 +19,10 @@ def main():
     p.add_argument("image")
     p.add_argument("--ckpt", default=None, help="published .msgpack params")
     p.add_argument("--out", default="pred.png")
+    p.add_argument("--uncertainty", default=None, metavar="PNG",
+                   help="also save a per-pixel uncertainty heatmap (across-"
+                        "hypothesis variance of the randsteps ensemble, "
+                        "ddp.py:219,241-245 machinery)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)
     args = p.parse_args()
@@ -50,8 +54,20 @@ def main():
              "dropout": jax.random.PRNGKey(2)},
             x, jnp.zeros(x.shape[:3], jnp.int32), train=False)
 
-    pred = model.apply(variables, x, method=model.predict,
-                       rngs={"diffusion": jax.random.PRNGKey(args.seed)})
+    if args.uncertainty:
+        probs, unc = model.apply(
+            variables, x, method=model.sample_with_uncertainty,
+            rngs={"diffusion": jax.random.PRNGKey(args.seed)})
+        pred = jnp.argmax(probs, axis=-1)
+        var = np.asarray(unc["variance"])[0]
+        heat = np.clip(var / max(float(var.max()), 1e-12) * 255, 0,
+                       255).astype(np.uint8)
+        Image.fromarray(heat).save(args.uncertainty)
+        print(f"saved {args.uncertainty} (mean variance {var.mean():.3e}, "
+              f"mean entropy {float(np.asarray(unc['entropy']).mean()):.3f} nats)")
+    else:
+        pred = model.apply(variables, x, method=model.predict,
+                           rngs={"diffusion": jax.random.PRNGKey(args.seed)})
     pred = np.asarray(pred)[0].astype(np.uint8)
     palette = PALETTES.get(cfg.data.dataset)
     if palette is not None:

@@ -145,7 +145,7 @@ def eval_seg(variables, mc, timesteps_list=(1, 3, 10), seeds=SEEDS):
     return out
 
 
-def eval_depth(variables, mc, timesteps_list=(1, 3), seeds=SEEDS):
+def eval_depth(variables, mc, timesteps_list=(1, 3, 10), seeds=SEEDS):
     import jax
     import jax.numpy as jnp
 
@@ -184,9 +184,12 @@ def eval_depth(variables, mc, timesteps_list=(1, 3), seeds=SEEDS):
             m = depth_metrics(np.concatenate(preds), np.concatenate(gts))
             rels.append(m["abs_rel"]); rmses.append(m["rmse"]); a1s.append(m["a1"])
         out[f"abs_rel@{T}step"] = round(float(np.mean(rels)), 4)
+        out[f"abs_rel@{T}step_std"] = round(float(np.std(rels)), 4)
         out[f"rmse@{T}step"] = round(float(np.mean(rmses)), 4)
+        out[f"rmse@{T}step_std"] = round(float(np.std(rmses)), 4)
         out[f"a1@{T}step"] = round(float(np.mean(a1s)), 4)
         print(f"  depth {T}-step: abs_rel {out[f'abs_rel@{T}step']:.4f} "
+              f"± {out[f'abs_rel@{T}step_std']:.4f} "
               f"rmse {out[f'rmse@{T}step']:.4f} a1 {out[f'a1@{T}step']:.4f}",
               flush=True)
     return out

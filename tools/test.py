@@ -22,6 +22,10 @@ def parse_args():
                         "reference warns results vary with diffusion "
                         "randomness, segmentation/README.md:94)")
     p.add_argument("--set", nargs="*", default=[], metavar="K=V")
+    p.add_argument("--uncertainty", action="store_true",
+                   help="seg only: also report per-image mean ensemble "
+                        "variance / predictive entropy (randsteps "
+                        "multiple-hypothesis uncertainty, ddp.py:219)")
     p.add_argument("--platform", default=None)
     return p.parse_args()
 
@@ -116,15 +120,35 @@ def main():
         print(" | ".join(f"{k} {v:.4f}" for k, v in m.items()) + f"  (n={n})")
         return
 
+    if args.uncertainty:
+        if cfg.runtime.test_mode == "slide":
+            raise SystemExit("--uncertainty supports whole-image mode only "
+                             "(slide accumulates logits across crops; "
+                             "per-crop hypothesis variance is not merged)")
+
+        @jax.jit
+        def predict_unc(variables, img, rng):
+            return model.apply(variables, img,
+                               method=model.sample_with_uncertainty,
+                               rngs={"diffusion": rng})
+
     per_seed = []
     for si in range(args.seeds):
         rng_s = jax.random.PRNGKey(args.seed + si)
         acc = SegMetricAccumulator(cfg.model.num_classes)
+        unc_var, unc_ent = [], []
         for i in range(n):
             s = ds.load(i)
             s = normalize(s, cfg.data.mean, cfg.data.std)
-            probs = predict(variables, jnp.asarray(s["image"][None]),
-                            jax.random.fold_in(rng_s, i))
+            if args.uncertainty:
+                probs, unc = predict_unc(
+                    variables, jnp.asarray(s["image"][None]),
+                    jax.random.fold_in(rng_s, i))
+                unc_var.append(float(np.asarray(unc["variance"]).mean()))
+                unc_ent.append(float(np.asarray(unc["entropy"]).mean()))
+            else:
+                probs = predict(variables, jnp.asarray(s["image"][None]),
+                                jax.random.fold_in(rng_s, i))
             pred = np.argmax(np.asarray(probs[0]), -1)
             acc.update(pred, s["label"])
             if (i + 1) % 50 == 0:
@@ -134,6 +158,10 @@ def main():
         print(f"[seed {args.seed + si}] aAcc {m['aAcc'] * 100:.2f} | "
               f"mIoU {m['mIoU'] * 100:.2f} | mAcc {m['mAcc'] * 100:.2f}"
               f"  (n={n})")
+        if args.uncertainty:
+            print(f"[seed {args.seed + si}] mean ensemble variance "
+                  f"{np.mean(unc_var):.3e} | mean predictive entropy "
+                  f"{np.mean(unc_ent):.3f} nats")
     if args.seeds > 1:
         mious = [m["mIoU"] for m in per_seed]
         print(f"seed-averaged mIoU {np.mean(mious) * 100:.2f} "
