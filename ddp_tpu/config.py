@@ -30,6 +30,7 @@ class ModelConfig:
     self_aligned: bool = False
     decoder_attn: str = "msda"  # 'msda' | 'window' (TPU-native dense)
     decoder_remat: bool = False  # jax.checkpoint decoder layers (train memory)
+    loss_at: str = "full"  # 'full' (reference parity) | 'quarter' (TPU-native)
     decoder_film: str = "v1"  # 'v1' | 'v2' | 'v3' FiLM layer variant
     decoder_pos: str = "sine"  # 'sine' | 'learned'
     depth_head_variant: str = "deform"  # 'deform' | 'upconv' | 'spade'
@@ -43,6 +44,10 @@ class ModelConfig:
     # controlnet-specific (SD 1.5 defaults; 'tiny' scales for synthetic runs)
     cn_size: str = "sd15"  # 'sd15' | 'tiny'
     cn_image_size: int = 512
+    # tiny-stack VAE capacity (r4: the VAE recon is the generation CEILING;
+    # these are the levers the probe in tools/probe_vae.py measures)
+    cn_vae_ch: int = 16
+    cn_vae_nrb: int = 1
     # bev-specific (defaults = the reference camera-bev256d2 geometry)
     # 6-cam 360° rig like nuScenes: with fewer synthetic cameras most BEV
     # cells are outside every camera frustum and their labels are
@@ -547,6 +552,7 @@ def build_model(mc: ModelConfig):
             decoder_pos=mc.decoder_pos,
             self_aligned=mc.self_aligned,
             decoder_remat=mc.decoder_remat,
+            loss_at=mc.loss_at,
         )
     if mc.task == "bev":
         from .models.bev import DDPBEVCamera
@@ -610,8 +616,10 @@ def build_model(mc: ModelConfig):
         if mc.cn_size == "tiny":
             return ControlNetTrainer(unet=UNetConfig().tiny(), clip_width=64,
                                      clip_layers=2, clip_vocab=512,
-                                     vae_ch=16, vae_ch_mult=(1, 2, 2, 4),
-                                     vae_nrb=1)  # 3 downsamples -> 8x like SD
+                                     vae_ch=mc.cn_vae_ch,
+                                     vae_ch_mult=(1, 2, 2, 4),
+                                     vae_nrb=mc.cn_vae_nrb,
+                                     )  # 3 downsamples -> 8x like SD
         return ControlNetTrainer(unet=UNetConfig())
 
     if mc.task == "depth":

@@ -62,6 +62,14 @@ class DDPSegmentor(nn.Module):
     # jax.checkpoint each decoder layer: required to train the msda path at
     # flagship shape on a 16G chip (gather temps pad 4x; 82G without remat)
     decoder_remat: bool = False
+    # where the CE loss is computed:
+    #   'full'    — reference parity (decode_head.py:263): bilinear-upsample
+    #               logits to label resolution, CE there. At 512²x150 the
+    #               upsampled logits are 157 MB/tensor — pure HBM traffic.
+    #   'quarter' — TPU-native: CE at the decoder's 1/4-scale grid against
+    #               nearest-downsampled labels (equivalent training signal,
+    #               measured in train_profile_notes.md; eval still upsamples)
+    loss_at: str = "full"
 
     def setup(self):
         if self.backbone_type == "swin":
@@ -165,14 +173,30 @@ class DDPSegmentor(nn.Module):
             noised, log_snr = self.corrupt_fused(rng, gt_down)
         logits = self.denoise_logits(x, noised, log_snr, train=train)
 
-        full = gt.shape[1:3]
-        logits_up = resize(logits, full, mode="bilinear", align_corners=self.align_corners)
-        loss_ce = cross_entropy_seg(logits_up, gt)
-        acc = seg_accuracy(logits_up, gt)
-
-        aux_logits = self.aux_head(x, train=train)
-        aux_up = resize(aux_logits, full, mode="bilinear", align_corners=self.align_corners)
-        loss_aux = self.aux_weight * cross_entropy_seg(aux_up, gt)
+        # aux head is skipped entirely at weight 0 (the reference would
+        # still run it; 0-weight exists here for ablation/benchmarks only)
+        aux_logits = (self.aux_head(x, train=train)
+                      if self.aux_weight else None)
+        if self.loss_at == "quarter":
+            # labels to the decoder grid (nearest keeps 255-ignore exact)
+            gt_q = resize(gt[..., None].astype(jnp.float32), (h, w),
+                          mode="nearest")[..., 0].astype(jnp.int32)
+            loss_ce = cross_entropy_seg(logits, gt_q)
+            acc = seg_accuracy(logits, gt_q)
+            loss_aux = (self.aux_weight * cross_entropy_seg(aux_logits, gt_q)
+                        if aux_logits is not None else 0.0)
+        else:
+            full = gt.shape[1:3]
+            logits_up = resize(logits, full, mode="bilinear",
+                               align_corners=self.align_corners)
+            loss_ce = cross_entropy_seg(logits_up, gt)
+            acc = seg_accuracy(logits_up, gt)
+            if aux_logits is not None:
+                aux_up = resize(aux_logits, full, mode="bilinear",
+                                align_corners=self.align_corners)
+                loss_aux = self.aux_weight * cross_entropy_seg(aux_up, gt)
+            else:
+                loss_aux = 0.0
 
         loss = loss_ce + loss_aux
         logs = {

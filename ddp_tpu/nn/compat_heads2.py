@@ -597,7 +597,12 @@ class _Encoding(nn.Module):
         b, n, c = x_tokens.shape
         # stored params equal the effective values (uniform(-std,std) /
         # uniform(-1,0) directly) so a reference-checkpoint import can copy
-        # mmseg Encoding codewords/scale verbatim (ADVICE r2)
+        # mmseg Encoding codewords/scale verbatim (ADVICE r2).
+        # COMPAT NOTE (advisor r3): checkpoints saved BEFORE this round-3
+        # reparameterization stored codewords offset by -std and scale
+        # negated; restoring such a checkpoint into an EncHead needs a
+        # one-time migration (codewords += std; scale = -scale). No
+        # published checkpoint predates the change.
         std = 1.0 / ((self.num_codes * c) ** 0.5)
         codewords = self.param(
             "codewords",

@@ -196,6 +196,43 @@ def ms_deform_attn_window(
     return out.reshape(b, q, nh * d)
 
 
+def ms_deform_attn_hybrid(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Window-gather FORWARD + 4-corner BACKWARD (custom VJP).
+
+    Round-4 bisect result (tools/bisect_msda_train.py, msda_train_notes.md):
+    compiling the TRANSPOSE of the vmap'd 2x2-block ``lax.gather`` — a
+    block-slice scatter-add — reliably crashes the v5e TPU worker (libtpu
+    fault), with and without remat, at every batch size tried; the 4-corner
+    ``take_along_axis`` formulation's backward (a standard element scatter-
+    add) compiles and trains. The two forwards are numerically identical
+    (same half-pixel convention, same zero padding), so this hybrid keeps
+    the measured-4x-faster window gather on the inference path while routing
+    gradients through the formulation the chip can actually compile.
+    """
+
+    @jax.custom_vjp
+    def f(value, loc, w):
+        return ms_deform_attn_window(value, spatial_shapes, loc, w)
+
+    def f_fwd(value, loc, w):
+        return f(value, loc, w), (value, loc, w)
+
+    def f_bwd(res, g):
+        value, loc, w = res
+        _, vjp = jax.vjp(
+            lambda v, l, ww: ms_deform_attn_xla(v, spatial_shapes, l, ww),
+            value, loc, w)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(value, sampling_locations, attention_weights)
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -208,11 +245,14 @@ def ms_deform_attn(
     ``spatial_shapes`` must be static (python ints) — required for one-shot XLA
     compilation.
 
-    impl: 'auto' (window-gather on TPU, plain gather elsewhere), 'window',
-    or 'xla'. A hand-written Pallas kernel is NOT provided deliberately:
-    Mosaic cannot express multi-vreg dynamic gathers (verified on v5e), so
-    the windowed lax.gather IS the TPU-native implementation; see
-    ops/pallas/msda_notes.md for the measurements behind this decision.
+    impl: 'auto' (hybrid on TPU, plain gather elsewhere), 'window' (2x2-block
+    gather fwd AND bwd — its backward crashes libtpu on v5e, kept for
+    bisection), 'xla' (4-corner gathers), or 'hybrid' (window fwd, 4-corner
+    bwd — the TPU default; see ms_deform_attn_hybrid). A hand-written Pallas
+    kernel is NOT provided deliberately: Mosaic cannot express multi-vreg
+    dynamic gathers (verified on v5e), so the windowed lax.gather IS the
+    TPU-native implementation; see ops/pallas/msda_notes.md for the
+    measurements behind this decision.
 
     The DDP_MSDA_IMPL env var overrides 'auto' (bisect tool
     tools/bisect_msda_train.py; msda_train_notes.md records why).
@@ -221,7 +261,10 @@ def ms_deform_attn(
         import os
 
         impl = os.environ.get("DDP_MSDA_IMPL") or (
-            "window" if jax.default_backend() == "tpu" else "xla")
+            "hybrid" if jax.default_backend() == "tpu" else "xla")
+    if impl == "hybrid":
+        return ms_deform_attn_hybrid(
+            value, spatial_shapes, sampling_locations, attention_weights)
     if impl == "window":
         return ms_deform_attn_window(
             value, spatial_shapes, sampling_locations, attention_weights)

@@ -99,3 +99,41 @@ def test_ms_deform_attn_grad_flows():
     grads = jax.grad(f, argnums=(0, 1, 2))(value, locs, w)
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ms_deform_attn_hybrid_fwd_and_grads_match_xla():
+    """The hybrid (window fwd / 4-corner bwd, the TPU training fix for the
+    libtpu scatter crash — msda_train_notes.md) must match the xla
+    formulation in BOTH directions: forwards are the same math, and the
+    custom VJP routes gradients through the xla backward."""
+    from ddp_tpu.ops.deform_attn import (ms_deform_attn_hybrid,
+                                         ms_deform_attn_window)
+
+    shapes = ((6, 8),)
+    rng = np.random.RandomState(7)
+    b, nh, d, p = 2, 4, 8, 4
+    s = 48
+    value = jnp.asarray(rng.randn(b, s, nh, d).astype(np.float32))
+    locs = jnp.asarray(
+        rng.uniform(-0.2, 1.2, (b, s, nh, 1, p, 2)).astype(np.float32))
+    w = jnp.asarray(rng.rand(b, s, nh, 1, p).astype(np.float32))
+
+    out_h = ms_deform_attn_hybrid(value, shapes, locs, w)
+    out_x = ms_deform_attn_xla(value, shapes, locs, w)
+    out_w = ms_deform_attn_window(value, shapes, locs, w)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_w),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_h(v, l, wt):
+        return (ms_deform_attn_hybrid(v, shapes, l, wt) ** 2).sum()
+
+    def loss_x(v, l, wt):
+        return (ms_deform_attn_xla(v, shapes, l, wt) ** 2).sum()
+
+    gh = jax.grad(loss_h, argnums=(0, 1, 2))(value, locs, w)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(value, locs, w)
+    for a, b_ in zip(gh, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)

@@ -93,14 +93,21 @@ def bench_cityscapes_slide():
             "crop1024 stride768 bf16 window ddim3"}
 
 
-def bench_bev_camera(batch=1):
+def bench_bev_camera(batch=1, randsteps=None, depth_topk=None):
+    import dataclasses as dc
+
     from ddp_tpu.config import get_config, build_model
     from ddp_tpu.data.bev_datasets import SyntheticBEVDataset
     import numpy as np
 
     cfg = get_config("nuscenes_camera")
-    model = build_model(cfg.model)
     mc = cfg.model
+    if randsteps is not None:
+        mc = dc.replace(mc, diffusion=dc.replace(mc.diffusion,
+                                                 randsteps=randsteps))
+    if depth_topk is not None:
+        mc = dc.replace(mc, bev_depth_topk=depth_topk)
+    model = build_model(mc)
     ds = SyntheticBEVDataset(num_cams=mc.bev_num_cams,
                              image_size=mc.bev_image_size,
                              out_grid=mc.bev_out_grid,
@@ -131,12 +138,31 @@ def bench_bev_camera(batch=1):
     per = timed_loop(bev_n, variables, sample_args, jax.random.PRNGKey(7))
     fps = batch / per
     return {"frames_per_s": round(fps, 3), "batch": batch,
+            "randsteps": mc.diffusion.randsteps,
+            "depth_topk": mc.bev_depth_topk,
             "vs_10hz_sweep_rate": round(fps / 10.0, 3),
-            "config": "swin_t LSS 6cam 256x704 -> bev200 randsteps5 ddim3 "
-            "bf16"}
+            "config": f"swin_t LSS 6cam 256x704 -> bev200 "
+                      f"randsteps{mc.diffusion.randsteps} ddim3 bf16"
+                      + (f" topk{mc.bev_depth_topk}" if mc.bev_depth_topk
+                         else "")}
 
 
-def bench_seg_scaling(batches=(1, 2, 4, 8)):
+def bench_bev_sensor_rate():
+    """The sensor-rate curve (VERDICT r3 item 6): baseline randsteps-5 vs
+    the two levers — depth-bin pruning (top-16 of 118 bins) and the
+    randsteps ensemble width. frames/s vs the 10 Hz nuScenes sweep rate."""
+    out = {}
+    for key, kw in (("baseline_r5", {}),
+                    ("topk16_r5", {"depth_topk": 16}),
+                    ("topk16_r3", {"depth_topk": 16, "randsteps": 3}),
+                    ("topk16_r1", {"depth_topk": 16, "randsteps": 1}),
+                    ("r1", {"randsteps": 1})):
+        out[key] = bench_bev_camera(batch=1, **kw)
+        print(f"  {key}: {out[key]['frames_per_s']} frames/s", flush=True)
+    return out
+
+
+def bench_seg_scaling(batches=(1, 2, 4, 6, 8)):
     import bench as b
 
     model = b._model(attn="window")
@@ -151,6 +177,55 @@ def bench_seg_scaling(batches=(1, 2, 4, 8)):
     base = out["b1"]
     for bs in batches[1:]:
         out[f"b{bs}_vs_b1"] = round(out[f"b{bs}"] / base, 3)
+    return out
+
+
+def bench_b8_diag():
+    """Window-decoder b8 cliff diagnosis (VERDICT r3 weak #2): b8 runs at
+    half of b4's throughput. Hypothesis probes, each isolating one factor:
+      f32_b8       — dtype (is the cliff a bf16 layout artifact?)
+      size384_b8   — absolute footprint (does the cliff move with image
+                     size, i.e. HBM pressure, or stay at batch 8?)
+      two_b4       — dispatch shape (two sequential b4 calls inside one jit:
+                     if ~2x the b8 rate, the fix is just 'serve at b4')
+    """
+    import bench as b
+
+    model = b._model(attn="window")
+    variables = b._init_variables(model, 512)
+    out = {}
+    out["f32_b8"] = round(b.bench_infer(model, variables, 8, 512,
+                                        jnp.float32), 3)
+    print(f"  f32_b8: {out['f32_b8']} img/s", flush=True)
+    model384 = b._model(attn="window")
+    vars384 = b._init_variables(model384, 384)
+    out["size384_b8"] = round(b.bench_infer(model384, vars384, 8, 384,
+                                            jnp.bfloat16), 3)
+    out["size384_b4"] = round(b.bench_infer(model384, vars384, 4, 384,
+                                            jnp.bfloat16), 3)
+    print(f"  384²: b8 {out['size384_b8']} vs b4 {out['size384_b4']} img/s",
+          flush=True)
+
+    # two b4 sample calls inside ONE jitted loop body = same images/step as
+    # b8 but half-size working set
+    img = jnp.asarray(__import__("numpy").random.RandomState(0)
+                      .randn(4, 512, 512, 3), jnp.bfloat16)
+    cast = _cast(variables, jnp.bfloat16)
+
+    @jax.jit
+    def two_b4_n(variables, img, rng, n):
+        def body(i, acc):
+            o1 = model.apply(variables, img, method=model.sample,
+                             rngs={"diffusion": jax.random.fold_in(rng, 2 * i)})
+            o2 = model.apply(variables, img, method=model.sample,
+                             rngs={"diffusion": jax.random.fold_in(rng, 2 * i + 1)})
+            return acc + (jnp.sum(o1) + jnp.sum(o2)).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    per = timed_loop(two_b4_n, cast, img, jax.random.PRNGKey(7))
+    out["two_b4_img_per_s"] = round(8.0 / per, 3)
+    print(f"  two_b4: {out['two_b4_img_per_s']} img/s", flush=True)
     return out
 
 
@@ -176,8 +251,12 @@ def main():
                 rows[name] = bench_cityscapes_slide()
             elif name == "bev_camera":
                 rows[name] = bench_bev_camera(batch=1)
+            elif name == "bev_sensor_rate":
+                rows[name] = bench_bev_sensor_rate()
             elif name == "seg_window_scaling":
                 rows[name] = bench_seg_scaling()
+            elif name == "b8_diag":
+                rows[name] = bench_b8_diag()
         except Exception as e:
             rows[name] = f"error: {type(e).__name__}: {e}"
         print(name, "->", json.dumps(rows[name]), flush=True)
