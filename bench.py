@@ -33,7 +33,7 @@ if os.environ.get("DDP_TPU_CACHE"):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _model(attn="msda", remat=False):
+def _model(attn="msda", remat=False, loss_at="full"):
     from ddp_tpu.core.diffusion import DiffusionConfig
     from ddp_tpu.models.segmentor import DDPSegmentor
 
@@ -41,6 +41,7 @@ def _model(attn="msda", remat=False):
         num_classes=150, backbone_type="swin", backbone_variant="tiny",
         diffusion=DiffusionConfig(timesteps=3, randsteps=1, accumulation=True),
         drop_path_rate=0.0, decoder_attn=attn, decoder_remat=remat,
+        loss_at=loss_at,
     )
 
 
@@ -122,12 +123,12 @@ def _peak_flops(device):
     return None, kind
 
 
-def _build_train(size, batch, attn, remat):
+def _build_train(size, batch, attn, remat, loss_at="full"):
     """Shared construction for the train bench and its FLOPs analysis."""
     from ddp_tpu.train.optim import OptimConfig, make_optimizer
     from ddp_tpu.train.state import TrainState, make_train_step
 
-    model = _model(attn, remat=remat)
+    model = _model(attn, remat=remat, loss_at=loss_at)
     variables = _init_variables(model, size)
     tx = make_optimizer(OptimConfig(total_steps=1000, warmup_steps=0),
                         variables["params"])
@@ -160,18 +161,20 @@ def _cost_flops(raw_step, state, batch_dev):
         return None
 
 
-def _train_flops_local(size, batch, attn, remat):
+def _train_flops_local(size, batch, attn, remat, loss_at="full"):
     """Run inside a CPU-pinned process: lower the step, return its FLOPs."""
-    raw_step, state, batch_dev = _build_train(size, batch, attn, remat)
+    raw_step, state, batch_dev = _build_train(size, batch, attn, remat,
+                                              loss_at)
     return _cost_flops(raw_step, state, batch_dev)
 
 
-def _train_flops_subprocess(size, batch, attn, remat):
+def _train_flops_subprocess(size, batch, attn, remat, loss_at="full"):
     import subprocess
 
     code = ("import jax; jax.config.update('jax_platforms','cpu')\n"
             "import bench\n"
-            f"f = bench._train_flops_local({size},{batch},{attn!r},{remat})\n"
+            f"f = bench._train_flops_local({size},{batch},{attn!r},{remat},"
+            f"{loss_at!r})\n"
             "print('FLOPS', f)\n")
     try:
         out = subprocess.run(
@@ -185,7 +188,7 @@ def _train_flops_subprocess(size, batch, attn, remat):
     return None
 
 
-def bench_train(size=512, batch=8, attn="msda", remat=None):
+def bench_train(size=512, batch=8, attn="msda", remat=None, loss_at="full"):
     """Full train step (fwd+bwd+clip+AdamW, bf16 policy) steps/sec/chip.
 
     The on-device fori_loop body feeds each step's params into the next and
@@ -196,11 +199,13 @@ def bench_train(size=512, batch=8, attn="msda", remat=None):
     published a 45,000x-impossible number).
     """
     if remat is None:
-        # neither decoder's b8 train step fits un-remat'd on a 16G chip
-        # (msda: 82G of padded gather temps; window: activation total) —
-        # remat per decoder layer is the standard config at this shape
-        remat = True
-    raw_step, state, batch_dev = _build_train(size, batch, attn, remat)
+        # msda needs remat at any batch (82G of padded gather temps at b8);
+        # the window decoder FITS un-remat'd at b4 and is 11% faster that
+        # way (work_dirs/mfu_breakdown.json no_remat row) — remat only
+        # where memory demands it
+        remat = (attn != "window") or batch > 4
+    raw_step, state, batch_dev = _build_train(size, batch, attn, remat,
+                                              loss_at)
 
     # FLOPs/step from XLA's own cost model of the lowered (uncompiled) step —
     # basis for the MFU row (reference discipline: tools/get_flops.py). The
@@ -208,7 +213,8 @@ def bench_train(size=512, batch=8, attn="msda", remat=None):
     # CPU-pinned subprocess.
     flops_per_step = _cost_flops(raw_step, state, batch_dev)
     if flops_per_step is None:
-        flops_per_step = _train_flops_subprocess(size, batch, attn, remat)
+        flops_per_step = _train_flops_subprocess(size, batch, attn, remat,
+                                                 loss_at)
 
     @jax.jit
     def train_n(state, batch, n):
@@ -254,10 +260,27 @@ def main():
         try:
             wmodel = _model(attn="window")
             wvars = _init_variables(wmodel, size)
+            # b2 is the window decoder's best batch (BENCH_EXTRA
+            # seg_window_scaling: 39.6@b2 vs 18.6@b8 — r3 published the
+            # worst batch as the headline; see b8_diag for the cliff story)
+            rows["window_bf16_b2"] = round(
+                bench_infer(wmodel, wvars, 2, size, jnp.bfloat16), 3)
             rows["window_bf16_b8"] = round(
                 bench_infer(wmodel, wvars, 8, size, jnp.bfloat16), 3)
         except Exception as e:  # window path must not sink the bench
             rows["window_bf16_b8"] = f"error: {type(e).__name__}"
+        # best-batch summaries per decoder (VERDICT r3 item 5)
+        msda_rows = {k: v for k, v in rows.items()
+                     if k.startswith(("f32_", "bf16_"))
+                     and isinstance(v, float)}
+        win_rows = {k: v for k, v in rows.items()
+                    if k.startswith("window_") and isinstance(v, float)}
+        if msda_rows:
+            k = max(msda_rows, key=msda_rows.get)
+            rows["msda_best"] = {"row": k, "img_per_s": msda_rows[k]}
+        if win_rows:
+            k = max(win_rows, key=win_rows.get)
+            rows["window_best"] = {"row": k, "img_per_s": win_rows[k]}
         # flagship (window-decoder) train throughput at per-chip batch 4
         # (2x the reference's per-GPU batch of 2, segmentation/README '2x8');
         # b8 exceeds 16G HBM even remat'd (full-res f32 CE temps, 2G each)
@@ -265,6 +288,15 @@ def main():
             train_row = bench_train(size, batch=4, attn="window")
         except Exception as e:
             train_row = {"error": type(e).__name__}
+        # TPU-native option: CE at the decoder's 1/4 grid (loss_at=
+        # 'quarter') — the full-res f32 upsample+CE costs ~20% of the step
+        # (train_profile_notes.md); convergence equivalence shown on the
+        # synthetic proof (BASELINE.json published.seg_quarter_loss)
+        try:
+            train_row["quarter_loss"] = bench_train(
+                size, batch=4, attn="window", loss_at="quarter")
+        except Exception as e:
+            train_row["quarter_loss"] = {"error": type(e).__name__}
         # msda (reference-parity decoder) train row: trains via the hybrid
         # window-fwd/4-corner-bwd VJP — the pure window backward's scatter
         # crashes libtpu on v5e (bisect table in

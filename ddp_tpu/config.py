@@ -323,6 +323,25 @@ PRESETS["converge_seg_window"] = lambda: Config(
                           workdir="work_dirs/converge_seg_window"),
 )
 
+# quarter-res CE variant (model.loss_at='quarter'): everything identical to
+# converge_seg except where the loss is computed — published next to it as
+# the convergence-equivalence evidence behind the bench's quarter_loss row
+# (r4: full-res f32 upsample+CE costs ~20% of the train step on v5e)
+PRESETS["converge_seg_quarter"] = lambda: Config(
+    name="converge_seg_quarter",
+    model=ModelConfig(task="seg", backbone_type="swin", backbone_variant="nano",
+                      num_classes=7, embed_dims=64, decoder_layers=6,
+                      decoder_heads=8, decoder_ffn_dim=256, drop_path_rate=0.0,
+                      bit_scale=0.01, loss_at="quarter",
+                      diffusion=DiffusionConfig(timesteps=3, accumulation=True)),
+    data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=16),
+    optim=OptimConfig(lr=3e-4, grad_clip=1.0, total_steps=1500,
+                      warmup_steps=100, schedule="poly"),
+    runtime=RuntimeConfig(total_iters=1500, log_interval=100, ckpt_interval=500,
+                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
+                          workdir="work_dirs/converge_seg_quarter"),
+)
+
 # self-aligned fine-tune from the converge_seg checkpoint (reference recipe:
 # type='SelfAlignedDDP', timesteps=10, 10x lower lr, short schedule)
 PRESETS["converge_seg_aligned"] = lambda: Config(

@@ -184,7 +184,7 @@ class DDPSegmentor(nn.Module):
             loss_ce = cross_entropy_seg(logits, gt_q)
             acc = seg_accuracy(logits, gt_q)
             loss_aux = (self.aux_weight * cross_entropy_seg(aux_logits, gt_q)
-                        if aux_logits is not None else 0.0)
+                        if aux_logits is not None else jnp.zeros((), loss_ce.dtype))
         else:
             full = gt.shape[1:3]
             logits_up = resize(logits, full, mode="bilinear",
@@ -196,7 +196,7 @@ class DDPSegmentor(nn.Module):
                                 align_corners=self.align_corners)
                 loss_aux = self.aux_weight * cross_entropy_seg(aux_up, gt)
             else:
-                loss_aux = 0.0
+                loss_aux = jnp.zeros((), loss_ce.dtype)
 
         loss = loss_ce + loss_aux
         logs = {

@@ -111,18 +111,22 @@ def time_fwd_only(size, batch, **kw):
     model, _, state, batch_dev = _build(size, batch, **kw)
 
     @jax.jit
-    def fwd_n(params, batch, rng, n):
+    def fwd_n(state, batch, rng, n):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
         def body(i, acc):
-            loss, _ = model.apply(
-                {"params": params}, batch["image"].astype(jnp.bfloat16),
-                batch["label"], train=True,
+            (loss, _), _ = model.apply(
+                variables, batch["image"].astype(jnp.bfloat16),
+                batch["label"], train=True, mutable=["batch_stats"],
                 rngs={"diffusion": jax.random.fold_in(rng, i),
                       "dropout": jax.random.fold_in(rng, i + 999)})
             return acc + loss.astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    return timed_loop(fwd_n, state.params, batch_dev, jax.random.PRNGKey(5))
+    return timed_loop(fwd_n, state, batch_dev, jax.random.PRNGKey(5))
 
 
 def time_encoder_bwd(size, batch):
@@ -132,8 +136,7 @@ def time_encoder_bwd(size, batch):
     def enc_n(params, batch, n):
         def loss_fn(p, img):
             feat = model.apply({"params": p}, img.astype(jnp.bfloat16),
-                               train=True,
-                               rngs={"dropout": jax.random.PRNGKey(0)},
+                               train=False,
                                method=model.extract_feat)
             return jnp.sum(feat.astype(jnp.float32) ** 2)
 
@@ -181,7 +184,10 @@ def main():
     size, batch = args.size, args.batch
 
     peak = 197e12  # v5e dense bf16
+    path = os.path.join("work_dirs", "mfu_breakdown.json")
     rows = {}
+    if os.path.exists(path):  # merge: keep rows from earlier partial runs
+        rows = json.load(open(path)).get("rows", {})
 
     variants = [
         ("full", dict()),
@@ -191,7 +197,8 @@ def main():
         ("no_remat", dict(remat=False)),
     ]
     for name, kw in variants:
-        if name in args.skip:
+        if name in args.skip or isinstance(rows.get(name), dict) and \
+                "ms_per_step" in rows[name]:
             continue
         try:
             t = time_train(size, batch, **kw)
@@ -205,20 +212,22 @@ def main():
             rows[name] = {"error": f"{type(e).__name__}: {e}"}
         print(name, "->", json.dumps(rows[name]), flush=True)
 
-    if "fwd_only" not in args.skip:
-        t = time_fwd_only(size, batch)
-        rows["fwd_only"] = {"ms_per_step": round(t * 1e3, 1)}
-        print("fwd_only ->", json.dumps(rows["fwd_only"]), flush=True)
-    if "encoder_bwd" not in args.skip:
-        t = time_encoder_bwd(size, batch)
-        rows["encoder_bwd"] = {"ms_per_step": round(t * 1e3, 1)}
-        print("encoder_bwd ->", json.dumps(rows["encoder_bwd"]), flush=True)
+    for name, fn in (("fwd_only", time_fwd_only),
+                     ("encoder_bwd", time_encoder_bwd)):
+        if name in args.skip or isinstance(rows.get(name), dict) and \
+                "ms_per_step" in rows[name]:
+            continue
+        try:
+            t = fn(size, batch)
+            rows[name] = {"ms_per_step": round(t * 1e3, 1)}
+        except Exception as e:
+            rows[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(name, "->", json.dumps(rows[name]), flush=True)
 
     out = {"batch": batch, "size": size,
            "chip": getattr(jax.devices()[0], "device_kind", "?"),
            "date": time.strftime("%Y-%m-%d"), "rows": rows}
     os.makedirs("work_dirs", exist_ok=True)
-    path = os.path.join("work_dirs", "mfu_breakdown.json")
     json.dump(out, open(path, "w"), indent=1)
     print(f"wrote {path}")
 

@@ -422,7 +422,12 @@ def pretrain_vae(mc, iters=2500, batch=8, lr=2e-3, seed=0):
     img0 = jnp.zeros((1, mc.cn_image_size, mc.cn_image_size, 3))
     variables = vae.init(jax.random.PRNGKey(seed), img0,
                          method=lambda m, x: m.decode(m.encode(x)[0]))
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    # r4: cosine-decayed lr — the r3 constant-lr run plateaued around MSE
+    # 0.10 (tools/probe_vae.py: the loss is still falling fast at iter 800;
+    # annealing, not capacity, is the binding lever at this budget)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=50, decay_steps=iters, end_value=lr * 1e-3)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(variables["params"])
 
     @jax.jit
@@ -462,6 +467,7 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
 
     preset = {"seg": "converge_seg", "seg_aligned": "converge_seg_aligned",
               "seg_window": "converge_seg_window",
+              "seg_quarter": "converge_seg_quarter",
               "depth": "converge_depth", "bev": "converge_bev",
               "bev_fusion": "converge_bev_fusion",
               "controlnet": "converge_controlnet"}[name]
@@ -526,7 +532,7 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
         print(f"train-only done for {name}", flush=True)
         return {"preset": preset, "train_only": True}
 
-    if name in ("seg", "seg_aligned", "seg_window"):
+    if name in ("seg", "seg_aligned", "seg_window", "seg_quarter"):
         result = eval_seg(variables, cfg.model)
     elif name == "depth":
         result = eval_depth(variables, cfg.model)
@@ -600,6 +606,7 @@ def main():
         for n, preset in (("seg", "converge_seg"),
                           ("seg_aligned", "converge_seg_aligned"),
                           ("seg_window", "converge_seg_window"),
+                          ("seg_quarter", "converge_seg_quarter"),
                           ("depth", "converge_depth"), ("bev", "converge_bev"),
                           ("bev_fusion", "converge_bev_fusion"),
                           ("controlnet", "converge_controlnet")):
