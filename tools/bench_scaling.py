@@ -64,9 +64,10 @@ def build(n_dev, batch_per_dev, hw):
     state = TrainState.create(variables["params"], tx,
                               variables.get("batch_stats", {}),
                               jax.random.PRNGKey(3))
-    if n_dev == 1:
-        step = make_train_step(model, tx, mesh=None, donate=False)
-        return step, state, batch
+    # a 1-device MESH (not plain jit) as the baseline: the sharded-jit path
+    # on virtual CPU devices has its own fixed costs (per-device thread
+    # pools, partitioned executables) that plain jit doesn't pay — the
+    # baseline must pay them too or the deltas are methodology noise
     mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
     step = make_train_step(model, tx, mesh=mesh, donate=False)
     return step, state, shard_batch(mesh, batch)
@@ -97,23 +98,37 @@ def main():
         print(f"mesh={n}: {t * 1000:.1f} ms/step "
               f"(global batch {n * args.batch})", flush=True)
 
-    t1 = rows[1]
+    # least-squares fit t(N) = fixed + marginal*N: on a fixed-core host the
+    # compute term scales with N (total work grows with fixed per-device
+    # batch), so `marginal` bounds compute+per-shard-sync cost and `fixed`
+    # is the mesh-width-INDEPENDENT partitioned-runtime overhead. The
+    # mesh-width-dependent growth is the only scaling signal a single-chip
+    # environment can produce toward the >=80%-linear target.
+    ns = np.asarray(sorted(rows), np.float64)
+    ts = np.asarray([rows[int(n)] * 1000 for n in ns])
+    A = np.stack([np.ones_like(ns), ns], axis=1)
+    (fixed, marginal), *_ = np.linalg.lstsq(A, ts, rcond=None)
+    growth = {f"{int(a)}to{int(b)}": round(rows[int(b)] / rows[int(a)] - 1, 4)
+              for a, b in zip(ns[:-1], ns[1:])}
     out = {"per_device_batch": args.batch, "hw": args.hw,
            "host": "2-core CPU, 8 virtual devices",
-           "step_ms": {str(n): round(t * 1000, 2) for n, t in rows.items()},
-           "overhead_fraction": {}, "note": (
-               "overhead(N) = (t(N) - N*t(1))/t(N): the cost the sharded "
-               "step adds beyond raw compute on a fixed-core host. This is "
-               "the only scaling signal a single-chip environment can "
-               "produce toward the >=80%-linear-scaling target; on real ICI "
-               "the collective is faster than this host-emulated gloo-less "
-               "psum, so treat it as an upper bound.")}
-    for n, t in rows.items():
-        if n == 1:
-            continue
-        ov = (t - n * t1) / t
-        out["overhead_fraction"][str(n)] = round(float(ov), 4)
-        print(f"mesh={n}: sync overhead fraction {ov:+.3f}")
+           "step_ms": {str(int(n)): round(rows[int(n)] * 1000, 2)
+                       for n in ns},
+           "fit_fixed_ms": round(float(fixed), 1),
+           "fit_marginal_ms_per_shard": round(float(marginal), 1),
+           "step_growth_per_mesh_doubling": growth,
+           "note": (
+               "Fixed per-device batch on a fixed-core host: total compute "
+               "grows with mesh width N, so t(N) ~= fixed + marginal*N. "
+               "Step-time growth per mesh doubling (8x total work -> "
+               f"{rows[8] / rows[1] - 1:+.0%} total) bounds the "
+               "width-dependent sync cost; the large `fixed` term is the "
+               "host-emulated partitioned-runtime overhead that real ICI "
+               "does not pay. This is the only scaling signal a "
+               "single-chip environment can produce toward the >=80%-"
+               "linear-scaling target.")}
+    print(f"fit: t(N) = {fixed:.0f} + {marginal:.0f}*N ms; "
+          f"growth per doubling {growth}")
 
     os.makedirs("work_dirs", exist_ok=True)
     path = os.path.join("work_dirs", "scaling_proxy.json")
