@@ -51,6 +51,7 @@ class DDPBEVCamera(nn.Module):
     zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
     dbound: Tuple[float, float, float] = (1.0, 60.0, 0.5)
     lss_out_channels: int = 80
+    depth_topk: int = 0  # LSS depth-bin pruning (0 = off; sensor-rate lever)
     bev_blocks: Tuple[Tuple[int, int, int], ...] = ((2, 160, 2), (2, 320, 2),
                                                     (2, 640, 1))
     decoder_layers: int = 5
@@ -70,7 +71,8 @@ class DDPBEVCamera(nn.Module):
                                        image_size=self.image_size,
                                        feature_size=(fh, fw),
                                        xbound=self.xbound, ybound=self.ybound,
-                                       zbound=self.zbound, dbound=self.dbound)
+                                       zbound=self.zbound, dbound=self.dbound,
+                                       depth_topk=self.depth_topk)
         self.bev_backbone = GeneralizedResNet(blocks=self.bev_blocks)
         self.bev_neck = LSSFPN(out_channels=self.embed_dims)
         self.decode_head = DeformableHeadWithTime(

@@ -53,6 +53,7 @@ class DDPBEVFusion(nn.Module):
     zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
     dbound: Tuple[float, float, float] = (1.0, 60.0, 0.5)
     lss_out_channels: int = 80
+    depth_topk: int = 0  # LSS depth-bin pruning (0 = off; sensor-rate lever)
     lidar_channels: int = 128  # SparseEncoder output channels (x2 z-planes)
     lidar_dense_hw: int = 128
     lidar_dense_z: int = 2
@@ -74,7 +75,8 @@ class DDPBEVFusion(nn.Module):
                                        image_size=self.image_size,
                                        feature_size=(fh, fw),
                                        xbound=self.xbound, ybound=self.ybound,
-                                       zbound=self.zbound, dbound=self.dbound)
+                                       zbound=self.zbound, dbound=self.dbound,
+                                       depth_topk=self.depth_topk)
         # lidar sparse-conv stack (SparseEncoder layout, batch-folded)
         channels = ((16,), (32, 32, 32), (64, 64, 64), (64, 64, 64))
         defs = [("lidar_conv_input", 16, "subm1", 27)]
