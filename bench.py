@@ -288,10 +288,12 @@ def main():
             train_row = bench_train(size, batch=4, attn="window")
         except Exception as e:
             train_row = {"error": type(e).__name__}
-        # TPU-native option: CE at the decoder's 1/4 grid (loss_at=
-        # 'quarter') — the full-res f32 upsample+CE costs ~20% of the step
-        # (train_profile_notes.md); convergence equivalence shown on the
-        # synthetic proof (BASELINE.json published.seg_quarter_loss)
+        # TPU-native fast mode: CE at the decoder's 1/4 grid (loss_at=
+        # 'quarter') — +32% steps/s (the full-res upsample+CE costs ~20%
+        # of the step) but a measured QUALITY trade-off, not a free lunch:
+        # synthetic convergence lands ~8 mIoU points below the full-res
+        # default (converge_seg_quarter 0.841 vs 0.927 — see
+        # train_profile_notes.md). Full-res stays the parity default.
         try:
             train_row["quarter_loss"] = bench_train(
                 size, batch=4, attn="window", loss_at="quarter")

@@ -325,8 +325,9 @@ PRESETS["converge_seg_window"] = lambda: Config(
 
 # quarter-res CE variant (model.loss_at='quarter'): everything identical to
 # converge_seg except where the loss is computed — published next to it as
-# the convergence-equivalence evidence behind the bench's quarter_loss row
-# (r4: full-res f32 upsample+CE costs ~20% of the train step on v5e)
+# the measured quality cost behind the bench's quarter_loss row (r4:
+# +32% steps/s but mIoU@3 0.841 vs full-res 0.927 — the full-res CE's
+# sub-latent-cell boundary supervision is real; full stays the default)
 PRESETS["converge_seg_quarter"] = lambda: Config(
     name="converge_seg_quarter",
     model=ModelConfig(task="seg", backbone_type="swin", backbone_variant="nano",
