@@ -67,3 +67,37 @@ def test_analyze_logs_tool(tmp_path):
         capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     assert "loss" in r.stdout and "avg speed" in r.stdout
+
+
+def test_microbatched_call_matches_direct():
+    """Serving-side working-set split (b8_cliff_notes.md): slicing the batch
+    must reproduce the direct call exactly, including the padded tail."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddp_tpu.evaluation.batched import microbatched_call
+
+    calls = []
+
+    @jax.jit
+    def fn(img, scale):
+        return img * 2.0 + scale[:, None]
+
+    def counting_fn(img, scale):
+        calls.append(img.shape[0])
+        return fn(img, scale)
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(7, 5, 3), jnp.float32)
+    scale = jnp.asarray(rng.randn(7, 3), jnp.float32)
+    got = microbatched_call(counting_fn, img, scale, microbatch=4)
+    want = fn(img, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    assert calls == [4, 4]  # one compiled shape, padded tail
+    # small batches pass through untouched
+    calls.clear()
+    got2 = microbatched_call(counting_fn, img[:3], scale[:3], microbatch=4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want[:3]),
+                               rtol=1e-6)
+    assert calls == [3]
