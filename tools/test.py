@@ -162,6 +162,10 @@ def main():
             print(f"[seed {args.seed + si}] mean ensemble variance "
                   f"{np.mean(unc_var):.3e} | mean predictive entropy "
                   f"{np.mean(unc_ent):.3f} nats")
+            if cfg.model.diffusion.randsteps == 1:
+                print("  (randsteps=1: ensemble variance is trivially 0 — "
+                      "use --set model.diffusion.randsteps=5 for "
+                      "hypothesis disagreement)")
     if args.seeds > 1:
         mious = [m["mIoU"] for m in per_seed]
         print(f"seed-averaged mIoU {np.mean(mious) * 100:.2f} "
