@@ -503,9 +503,11 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
 
             init_params, step = _restore_variables(gc("converge_seg"))
             print(f"fine-tuning from converge_seg step {step}", flush=True)
-        elif name == "controlnet":
+        elif name == "controlnet" and not resume:
             # stage 1: pretrain + freeze the VAE (reference: pretrained SD
-            # first stage), then train UNet+ControlNet on its latent space
+            # first stage), then train UNet+ControlNet on its latent space.
+            # On --resume the checkpoint already holds the trained VAE —
+            # re-pretraining would be 2500 wasted iters (r4)
             import jax.numpy as jnp
 
             from ddp_tpu.config import build_model
