@@ -162,6 +162,69 @@ def bench_bev_sensor_rate():
     return out
 
 
+def bench_bev_fusion_rate(randsteps=None):
+    """Camera+lidar fusion inference frames/s at nuScenes scale (the
+    reference's 70.6-mIoU config; completes the serving story next to the
+    camera-only bev_sensor_rate row). Voxelization + rulebook construction
+    run host-side per sample (the TPU-first split), so the measured number
+    is the ON-CHIP frame rate given prepared rulebooks."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from ddp_tpu.config import build_model, get_config
+    from ddp_tpu.data.bev_datasets import (FUSION_BATCH_KEYS,
+                                           SyntheticFusionDataset)
+
+    cfg = get_config("nuscenes_fusion")
+    mc = cfg.model
+    if randsteps is not None:
+        mc = dc.replace(mc, diffusion=dc.replace(mc.diffusion,
+                                                 randsteps=randsteps))
+    model = build_model(mc)
+    ds = SyntheticFusionDataset(
+        sparse_shape=mc.bev_sparse_shape, caps=mc.bev_voxel_caps,
+        voxel_size=mc.bev_voxel_size, num_cams=mc.bev_num_cams,
+        image_size=mc.bev_image_size, out_grid=mc.bev_out_grid,
+        num_classes=mc.num_classes, scope=mc.bev_xbound[1])
+    arg_keys = FUSION_BATCH_KEYS[:-1]
+    s = ds.load(0)
+    batch = {}
+    for k in FUSION_BATCH_KEYS:
+        if k == "rulebooks":
+            batch[k] = {kk: jnp.asarray(np.stack([s[k][kk]]))
+                        for kk in s[k]}
+        else:
+            batch[k] = jnp.asarray(np.stack([s[k]]))
+    args = [batch[k] for k in arg_keys]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, *args, batch["label"],
+        train=False)
+    variables = _cast(variables, jnp.bfloat16)
+    args = [jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, a)
+        for a in args]
+
+    @jax.jit
+    def fusion_n(variables, args, rng, n):
+        def body(i, acc):
+            out = model.apply(variables, *args, method=model.sample,
+                              rngs={"diffusion": jax.random.fold_in(rng, i)})
+            return acc + jnp.sum(out).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    per = timed_loop(fusion_n, variables, args, jax.random.PRNGKey(7))
+    fps = 1.0 / per
+    return {"frames_per_s": round(fps, 3), "batch": 1,
+            "randsteps": mc.diffusion.randsteps,
+            "vs_10hz_sweep_rate": round(fps / 10.0, 3),
+            "config": f"swin_t LSS 6cam + spconv lidar (120k voxel cap) -> "
+                      f"bev200 randsteps{mc.diffusion.randsteps} ddim3 bf16 "
+                      f"window"}
+
+
 def bench_seg_scaling(batches=(1, 2, 4, 6, 8)):
     import bench as b
 
@@ -257,6 +320,10 @@ def main():
                 rows[name] = bench_bev_camera(batch=1)
             elif name == "bev_sensor_rate":
                 rows[name] = bench_bev_sensor_rate()
+            elif name == "bev_fusion_rate":
+                rows[name] = {
+                    "r5": bench_bev_fusion_rate(),
+                    "r1": bench_bev_fusion_rate(randsteps=1)}
             elif name == "seg_window_scaling":
                 rows[name] = bench_seg_scaling()
             elif name == "b8_diag":
