@@ -42,8 +42,14 @@ class ModelConfig:
     max_depth: float = 10.0
     min_depth: float = 1e-3
     # controlnet-specific (SD 1.5 defaults; 'tiny' scales for synthetic runs)
-    cn_size: str = "sd15"  # 'sd15' | 'tiny'
+    cn_size: str = "sd15"  # 'sd15' | 'small' | 'tiny'
     cn_image_size: int = 512
+    # latent scale: SD's 0.18215 assumes the SD VAE's latent statistics; a
+    # from-scratch VAE needs a data-derived value so scaled latents are
+    # ~unit-std (matching the N(0,1) sampling prior — the reference computes
+    # it the same way: ldm's scale_factor is 1/std of the first batch's
+    # latents). tools/run_convergence.py measures and overrides this.
+    cn_scale_factor: float = 0.18215
     # tiny-stack VAE capacity (r4: the VAE recon is the generation CEILING;
     # these are the levers the probe in tools/probe_vae.py measures)
     cn_vae_ch: int = 16
@@ -438,17 +444,21 @@ PRESETS["converge_bev_fusion"] = lambda: Config(
 
 PRESETS["converge_controlnet"] = lambda: Config(
     name="converge_controlnet",
-    model=ModelConfig(task="controlnet", cn_size="tiny", cn_image_size=64),
-    data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=8),
+    model=ModelConfig(task="controlnet", cn_size="small", cn_image_size=64),
+    data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=16),
     # VAE is stage-1 pretrained (tools/run_convergence.py:pretrain_vae) and
-    # frozen here, mirroring the reference's frozen SD first stage
-    # r3: 600 iters left eps-loss at 0.14 and generations unrecognizable —
-    # a from-scratch tiny SD stack needs a few thousand steps
-    optim=OptimConfig(lr=2e-4, grad_clip=1.0, total_steps=2500,
-                      warmup_steps=50, schedule="cosine",
+    # frozen here, mirroring the reference's frozen SD first stage.
+    # r3: 600 iters left eps-loss at 0.14 and generations unrecognizable.
+    # r4: the 'tiny' UNet (32ch) plateaued at 10 dB PSNR over 5200 iters —
+    # capacity, latent scaling (cn_scale_factor, measured per-run) and
+    # budget all moved together to 'small'/16k; at ~12 steps/s on v5e-1
+    # this is ~25 min of chip time.
+    optim=OptimConfig(lr=2e-4, grad_clip=1.0, total_steps=16_000,
+                      warmup_steps=100, schedule="cosine",
                       custom_keys=(("first_stage_model", (0.0, 0.0)),)),
-    runtime=RuntimeConfig(total_iters=2500, log_interval=100, ckpt_interval=500,
-                          eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
+    runtime=RuntimeConfig(total_iters=16_000, log_interval=200,
+                          ckpt_interval=2000, eval_interval=100_000,
+                          max_keep_ckpts=1, steps_per_dispatch=20,
                           workdir="work_dirs/converge_controlnet"),
 )
 
@@ -633,14 +643,18 @@ def build_model(mc: ModelConfig):
         from .models.controlnet import ControlNetTrainer
         from .nn.unet import UNetConfig
 
-        if mc.cn_size == "tiny":
-            return ControlNetTrainer(unet=UNetConfig().tiny(), clip_width=64,
+        if mc.cn_size in ("tiny", "small"):
+            unet = (UNetConfig().tiny() if mc.cn_size == "tiny"
+                    else UNetConfig().small())
+            return ControlNetTrainer(unet=unet, clip_width=64,
                                      clip_layers=2, clip_vocab=512,
                                      vae_ch=mc.cn_vae_ch,
                                      vae_ch_mult=(1, 2, 2, 4),
                                      vae_nrb=mc.cn_vae_nrb,
+                                     scale_factor=mc.cn_scale_factor,
                                      )  # 3 downsamples -> 8x like SD
-        return ControlNetTrainer(unet=UNetConfig())
+        return ControlNetTrainer(unet=UNetConfig(),
+                                 scale_factor=mc.cn_scale_factor)
 
     if mc.task == "depth":
         from .models.depther import DDPDepther

@@ -22,7 +22,11 @@ def make_train_iter(cfg):
                                       controlnet_batch_iterator)
 
         if cfg.data.dataset == "synthetic":
-            ds = SyntheticFill50k(size=cfg.model.cn_image_size)
+            # procedural data is free: a wide index pool (vs the real
+            # fill50k's 50k pairs) so the generator must interpolate
+            # circle position/size rather than memorize (r4)
+            ds = SyntheticFill50k(size=cfg.model.cn_image_size,
+                                  length=20_000)
         else:
             # real PNG pairs (controlnet/tutorial_dataset.py contract)
             ds = Fill50kDataset(cfg.data.data_root,

@@ -132,6 +132,58 @@ class Fill50kDataset:
         }
 
 
+def device_fill50k_batch(key, batch: int, size: int):
+    """On-device procedural fill50k batch — the TPU-native feed path.
+
+    Same generative family as :class:`SyntheticFill50k` (uniform circle
+    center in [0.3,0.7]·s, radius in [0.15,0.35]·s, two distinct palette
+    colors), re-derived in pure jnp so a training loop can `lax.scan` over
+    steps with the data generated ON CHIP. This removes the host↔device
+    round-trip per step entirely — on the axon relay every host dispatch
+    re-ships the params (~100 MB for the 'small' stack ⇒ a 0.5 steps/s
+    ceiling vs the chip's 100+), and on real multi-host pods it removes the
+    per-step infeed. Held-out eval keeps using the numpy loader, so train
+    and eval data come from independent implementations of the same family.
+
+    Returns (image [b,s,s,3] in [-1,1], hint [b,s,s,3] in [0,1],
+    ids [b,77] int32) matching SyntheticFill50k.load's contract.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    palette = jnp.asarray([rgb for _, rgb in COLORS], jnp.float32)  # [10,3]
+    n = len(COLORS)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    fill_i = jax.random.randint(k1, (batch,), 0, n)
+    # distinct bg: uniform over the other n-1 colors
+    bg_i = (fill_i + jax.random.randint(k2, (batch,), 1, n)) % n
+    cxy = jax.random.uniform(k3, (batch, 2), minval=0.3, maxval=0.7) * size
+    rad = jax.random.uniform(k4, (batch,), minval=0.15, maxval=0.35) * size
+
+    yy, xx = jnp.mgrid[0:size, 0:size]
+    dist = jnp.sqrt((xx[None].astype(jnp.float32) - cxy[:, 0, None, None]) ** 2
+                    + (yy[None].astype(jnp.float32)
+                       - cxy[:, 1, None, None]) ** 2)
+    inside = dist < rad[:, None, None]
+    ring = jnp.abs(dist - rad[:, None, None]) < max(1.0, size / 64.0)
+
+    fill_rgb = palette[fill_i][:, None, None, :]
+    bg_rgb = palette[bg_i][:, None, None, :]
+    image = jnp.where(inside[..., None], fill_rgb, bg_rgb) / 127.5 - 1.0
+    hint = jnp.broadcast_to(ring[..., None],
+                            image.shape).astype(jnp.float32)
+
+    # "<fill> circle with <bg> background" under the toy VOCAB: color token
+    # ids are contiguous starting at VOCAB['red'] (=6)
+    c0 = VOCAB[COLORS[0][0]]
+    base = np.full((MAX_LEN,), VOCAB["<pad>"], np.int32)
+    base[:7] = [VOCAB["<start>"], 0, VOCAB["circle"], VOCAB["with"], 0,
+                VOCAB["background"], VOCAB["<end>"]]
+    ids = jnp.broadcast_to(jnp.asarray(base), (batch, MAX_LEN))
+    ids = ids.at[:, 1].set(c0 + fill_i).at[:, 4].set(c0 + bg_i)
+    return image.astype(jnp.float32), hint, ids
+
+
 def controlnet_batch_iterator(
     ds, batch_size: int, seed: int = 0, rank: int = 0, world: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:

@@ -250,6 +250,7 @@ class ControlNetTrainer(nn.Module):
     vae_ch: int = 128
     vae_ch_mult: tuple = (1, 2, 4, 4)
     vae_nrb: int = 2
+    scale_factor: float = 0.18215
 
     def setup(self):
         self.ldm = ControlLDM(unet=self.unet, hint_channels=self.hint_channels,
@@ -258,7 +259,8 @@ class ControlNetTrainer(nn.Module):
                               clip_vocab=self.clip_vocab,
                               vae_ch=self.vae_ch,
                               vae_ch_mult=self.vae_ch_mult,
-                              vae_nrb=self.vae_nrb)
+                              vae_nrb=self.vae_nrb,
+                              scale_factor=self.scale_factor)
 
     def __call__(self, img, hint, ids, train: bool = True):
         rng = self.make_rng("diffusion")

@@ -132,6 +132,16 @@ class UNetConfig:
                           num_res_blocks=1, attention_resolutions=(2,),
                           channel_mult=(1, 2), num_heads=2, context_dim=16)
 
+    def small(self):
+        """Mid-size config for the from-scratch synthetic demo (r4: the
+        'tiny' stack — 32ch, 1 res block, one 4×4 cross-attn — was the
+        capacity ceiling behind the 10 dB PSNR plateau; this one keeps the
+        same SD topology at ~1/25 the SD 1.5 width)."""
+        return UNetConfig(in_channels=4, model_channels=64, out_channels=4,
+                          num_res_blocks=2, attention_resolutions=(1, 2),
+                          channel_mult=(1, 2, 4), num_heads=4,
+                          context_dim=64)
+
 
 def _level_plan(cfg: UNetConfig):
     """Static (channels, has_attn) plan for encoder levels."""

@@ -164,8 +164,15 @@ def test_controlnet_trainer_step_and_data():
     from ddp_tpu.train.optim import make_optimizer
     from ddp_tpu.train.state import TrainState, make_train_step
 
+    from ddp_tpu.config import apply_overrides
+
+    # pin the CPU test to the 'tiny' stack (the preset's 'small' UNet is a
+    # chip-budget choice, not a different code path) + a known scale factor
     cfg = get_config("converge_controlnet")
+    cfg = apply_overrides(cfg, {"model.cn_size": "tiny",
+                                "model.cn_scale_factor": 0.5})
     model = build_model(cfg.model)
+    assert model.scale_factor == 0.5  # preset plumbing reaches the module
     it = make_train_iter(cfg)
     batch = next(it)
     variables = model.init(
@@ -179,3 +186,43 @@ def test_controlnet_trainer_step_and_data():
     state, logs = step(state, {k: jnp.asarray(v[:2]) for k, v in batch.items()})
     assert np.isfinite(float(logs["loss"]))
     assert int(state.step) == 1
+
+
+def test_device_fill50k_matches_numpy_family():
+    """The on-device jnp generator (device_fill50k_batch) must produce the
+    same data contract as SyntheticFill50k.load: value ranges, the
+    outline-ring hint geometry, flat two-color images, and EXACTLY the
+    tokenizer's ids layout for the rendered color pair."""
+    import numpy as np
+
+    from ddp_tpu.data.controlnet_data import (COLORS, VOCAB,
+                                              SyntheticFill50k,
+                                              device_fill50k_batch, tokenize)
+
+    img, hint, ids = jax.jit(
+        lambda k: device_fill50k_batch(k, 4, 64))(jax.random.PRNGKey(7))
+    img, hint, ids = np.asarray(img), np.asarray(hint), np.asarray(ids)
+    assert img.shape == (4, 64, 64, 3) and hint.shape == (4, 64, 64, 3)
+    assert ids.shape == (4, 77) and ids.dtype == np.int32
+    assert -1.0 <= img.min() and img.max() <= 1.0
+    assert set(np.unique(hint)) <= {0.0, 1.0}
+    for i in range(4):
+        # image uses exactly two palette colors (fill + bg), like the loader
+        px = np.unique(np.round((img[i] + 1.0) * 127.5).reshape(-1, 3),
+                       axis=0)
+        assert px.shape[0] == 2
+        # ids row == tokenize() of the prompt the colors imply
+        c0 = VOCAB[COLORS[0][0]]
+        fill = COLORS[ids[i, 1] - c0][0]
+        bg = COLORS[ids[i, 4] - c0][0]
+        assert fill != bg
+        np.testing.assert_array_equal(
+            ids[i], tokenize(f"{fill} circle with {bg} background"))
+        # the hint ring lies on the fill/bg boundary of the image
+        ring = hint[i, :, :, 0] > 0.5
+        assert ring.any()
+
+    # numpy loader, same contract
+    s = SyntheticFill50k(size=64).load(3)
+    assert s["image"].shape == img.shape[1:]
+    assert s["ids"].shape == ids.shape[1:]

@@ -143,6 +143,7 @@ def test_fill50k_loader_and_train(tmp_path):
 
     cfg = get_config("converge_controlnet")
     cfg = apply_overrides(cfg, {
+        "model.cn_size": "tiny",  # CPU-budget stack; loader path is the test
         "data.dataset": "fill50k", "data.data_root": root,
         "data.batch_size": 2, "runtime.total_iters": 2,
         "runtime.steps_per_dispatch": 1,

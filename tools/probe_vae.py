@@ -49,7 +49,7 @@ def run_variant(tag, ch, nrb, iters, lr=2e-3):
     cfg = get_config("converge_controlnet")
     cfg = apply_overrides(cfg, {"model.cn_vae_ch": ch,
                                 "model.cn_vae_nrb": nrb})
-    params = pretrain_vae(cfg.model, iters=iters, lr=lr)
+    params, _scale = pretrain_vae(cfg.model, iters=iters, lr=lr)
     trainer = build_model(cfg.model)
     vae = AutoencoderKL(embed_dim=trainer.unet.in_channels,
                         ch=trainer.vae_ch, ch_mult=trainer.vae_ch_mult,

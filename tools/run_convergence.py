@@ -454,7 +454,104 @@ def pretrain_vae(mc, iters=2500, batch=8, lr=2e-3, seed=0):
         if i % 100 == 0 or i == iters - 1:
             print(f"  vae pretrain {i}: recon+kl {float(loss):.5f}",
                   flush=True)
-    return params
+
+    # data-derived latent scale (r4 lever, executed): ldm picks scale_factor
+    # so scaled latents are unit-std (ddpm.py on_train_batch_start's
+    # 1/z.flatten().std() rescale); with SD's 0.18215 our from-scratch VAE's
+    # scaled latents had std 0.64, a train/sample prior mismatch.
+    probe = jnp.asarray(np.stack(
+        [ds.load(HELDOUT_BASE + 64 + j)["image"] for j in range(64)]))
+    mean, _ = vae.apply({"params": params}, probe, method=vae.encode)
+    scale = float(1.0 / (np.asarray(mean).std() + 1e-8))
+    print(f"  vae latent std {1.0 / scale:.4f} -> scale_factor {scale:.5f}",
+          flush=True)
+    return params, scale
+
+
+def train_controlnet_ondevice(cfg, init_variables, chunk=500, seed=0):
+    """ControlNet training with ON-DEVICE data generation (r4).
+
+    The generic train() loop feeds host batches; on the axon relay every
+    dispatch re-ships the full params+opt state (~0.5 steps/s for the 27M
+    'small' stack regardless of compute). fill50k is procedural, so the
+    batch is generated on chip (device_fill50k_batch) and the whole run is
+    chunked ``lax.scan`` dispatches — host traffic is one scalar loss
+    vector per chunk. Same model.apply / optimizer chain as train();
+    writes the same train_log.jsonl schema and a loop-compatible orbax
+    checkpoint (restorable by _restore_variables).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ddp_tpu.config import build_model
+    from ddp_tpu.data.controlnet_data import device_fill50k_batch
+    from ddp_tpu.train.checkpoint import CheckpointManager
+    from ddp_tpu.train.optim import make_lr_schedule, make_optimizer
+    from ddp_tpu.train.state import TrainState
+
+    model = build_model(cfg.model)
+    b = cfg.data.batch_size
+    s = cfg.model.cn_image_size
+    total = cfg.runtime.total_iters
+    tx = make_optimizer(cfg.optim, init_variables["params"])
+    sched = make_lr_schedule(cfg.optim)
+    base_key = jax.random.PRNGKey(seed)
+
+    def one_step(carry, step_idx):
+        params, opt_state = carry
+        k = jax.random.fold_in(base_key, step_idx)
+        kd, kr = jax.random.split(k)
+        img, hint, ids = device_fill50k_batch(kd, b, s)
+
+        def loss_fn(p):
+            loss, _ = model.apply({"params": p}, img, hint, ids,
+                                  rngs={"diffusion": kr, "dropout": kr})
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), (loss, gnorm)
+
+    @jax.jit
+    def run_chunk(params, opt_state, steps):
+        (params, opt_state), (losses, gnorms) = jax.lax.scan(
+            one_step, (params, opt_state), steps)
+        return params, opt_state, losses, gnorms
+
+    params = init_variables["params"]
+    opt_state = tx.init(params)
+    log_path = os.path.join(cfg.runtime.workdir, "train_log.jsonl")
+    done = 0
+    while done < total:
+        n = min(chunk, total - done)
+        t0 = time.time()
+        params, opt_state, losses, gnorms = run_chunk(
+            params, opt_state, jnp.arange(done, done + n))
+        losses = np.asarray(losses)  # forces completion of the chunk
+        dt = time.time() - t0
+        done += n
+        rec = {"step": done, "lr": float(sched(done - 1)),
+               "steps_per_s": round(n / dt, 3),
+               "grad_norm": float(np.asarray(gnorms)[-1]),
+               "loss": float(losses[-1]),
+               "loss_chunk_mean": round(float(losses.mean()), 5)}
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"  [{done}/{total}] loss {rec['loss_chunk_mean']:.4f} "
+              f"({rec['steps_per_s']:.1f} steps/s)", flush=True)
+
+    state = TrainState.create(init_variables["params"], tx, {})
+    state = state.replace(step=jnp.asarray(done, jnp.int32), params=params,
+                          opt_state=opt_state)
+    ckpt = CheckpointManager(cfg.runtime.workdir,
+                             max_keep=cfg.runtime.max_keep_ckpts)
+    ckpt.save(done, jax.device_get(state),
+              meta={"preset": cfg.name, "ondevice_data": True})
+    return {"params": params}
 
 
 def run_experiment(name, eval_only=False, iters=None, train_only=False,
@@ -490,6 +587,15 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
         if os.path.exists(tl):
             os.replace(tl, tl + ".prev")
     os.makedirs(cfg.runtime.workdir, exist_ok=True)
+    # restore the measured latent scale (written by a fresh controlnet run's
+    # VAE pretrain) so resume/eval-only rebuilds match the trained scaling
+    sj = os.path.join(cfg.runtime.workdir, "scale.json")
+    if name == "controlnet" and (eval_only or resume) and os.path.exists(sj):
+        with open(sj) as f:
+            sf = json.load(f)["cn_scale_factor"]
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, cn_scale_factor=sf))
+        print(f"restored cn_scale_factor {sf:.5f}", flush=True)
     print(f"=== {name} ({preset}) ===", flush=True)
 
     if eval_only:
@@ -512,7 +618,15 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
 
             from ddp_tpu.config import build_model
 
-            vae_params = pretrain_vae(cfg.model)
+            vae_params, scale = pretrain_vae(cfg.model)
+            # persist the measured scale so resume/eval-only runs rebuild
+            # the model with the SAME latent scaling as training
+            with open(os.path.join(cfg.runtime.workdir, "scale.json"),
+                      "w") as f:
+                json.dump({"cn_scale_factor": scale}, f)
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model,
+                                               cn_scale_factor=scale))
             model = build_model(cfg.model)
             s = cfg.model.cn_image_size
             from ddp_tpu.data.controlnet_data import tokenize
@@ -526,9 +640,14 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
             init_params["params"]["ldm"]["first_stage_model"] = vae_params
             print("injected pretrained VAE into first_stage_model",
                   flush=True)
-        it = make_train_iter(cfg)
-        state = train(cfg, it, init_params=init_params, resume=resume)
-        variables = _variables_from_state(jax.device_get(state))
+        if name == "controlnet" and not resume:
+            # procedural data → generate it ON DEVICE and scan the whole
+            # run (train_controlnet_ondevice docstring has the relay math)
+            variables = train_controlnet_ondevice(cfg, init_params)
+        else:
+            it = make_train_iter(cfg)
+            state = train(cfg, it, init_params=init_params, resume=resume)
+            variables = _variables_from_state(jax.device_get(state))
 
     if train_only:
         print(f"train-only done for {name}", flush=True)
