@@ -65,6 +65,18 @@ def main():
     from ddp_tpu.train.state import TrainState
 
     cfg = get_config(args.preset)
+    # a trained run persists its measured latent scale (scale.json); the
+    # demo must rebuild the model with the SAME scaling
+    sj = os.path.join(args.workdir or cfg.runtime.workdir, "scale.json")
+    if os.path.exists(sj):
+        import dataclasses
+        import json
+
+        with open(sj) as f:
+            sf = json.load(f)["cn_scale_factor"]
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, cn_scale_factor=sf))
+        print(f"using measured cn_scale_factor {sf:.5f}")
     model = build_model(cfg.model)
     size = cfg.model.cn_image_size
 
