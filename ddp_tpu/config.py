@@ -112,7 +112,7 @@ class RuntimeConfig:
     tensorboard: bool = True  # write events.out.tfevents scalar curves
     # >1 runs that many train steps per device dispatch as ONE jitted
     # lax.scan over a stacked batch chunk — amortizes host-sync/dispatch
-    # latency (decisive through the axon relay; also cuts host overhead on
+    # latency (decisive through the sandboxed TPU relay; also cuts host overhead on
     # real pods). Intervals are honored at in-chunk resolution.
     steps_per_dispatch: int = 1
     seed: int = 0

@@ -139,7 +139,7 @@ def device_fill50k_batch(key, batch: int, size: int):
     center in [0.3,0.7]·s, radius in [0.15,0.35]·s, two distinct palette
     colors), re-derived in pure jnp so a training loop can `lax.scan` over
     steps with the data generated ON CHIP. This removes the host↔device
-    round-trip per step entirely — on the axon relay every host dispatch
+    round-trip per step entirely — through the sandboxed TPU relay every host dispatch
     re-ships the params (~100 MB for the 'small' stack ⇒ a 0.5 steps/s
     ceiling vs the chip's 100+), and on real multi-host pods it removes the
     per-step infeed. Held-out eval keeps using the numpy loader, so train

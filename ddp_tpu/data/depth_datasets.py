@@ -1,10 +1,18 @@
-"""Depth datasets: NYUv2, KITTI (Eigen split), and a synthetic generator.
+"""Depth datasets: NYUv2, KITTI (Eigen split), SUNRGBD, Cityscapes-depth,
+and a synthetic generator — the reference depth toolbox's full dataset
+surface (depth/depth/datasets/{nyu,kitti,sunrgbd,cityscapes}.py).
 
-Parity targets (depth/depth/datasets/):
+Parity targets:
   - nyu.py: depth PNGs scaled by 1000, eval on the Eigen center crop
     [45:471, 41:601].
   - kitti.py: depth scaled by 256, KB crop (352x1216 bottom-center,
     kitti.py:227-235), garg eval crop (kitti.py:53-54,238+).
+  - sunrgbd.py: uint16 depth PNGs stored bit-rotated by 3
+    (sunrgbd.py:225-229: (v >> 3) | (v << 13)), /1000 to meters, clipped
+    at 8 m; Eigen-crop eval mask (sunrgbd.py eval_mask).
+  - cityscapes.py: disparity PNGs, disparity = (raw - 1)/256 where raw > 0
+    (cityscapes.py:246-250), depth = baseline * fx / disparity from the
+    per-image camera JSON; garg-crop eval, max_depth 80.
 """
 from __future__ import annotations
 
@@ -41,18 +49,42 @@ def kb_crop(img: np.ndarray, depth: Optional[np.ndarray] = None):
     return img, depth
 
 
+def sunrgbd_decode_depth(raw: np.ndarray) -> np.ndarray:
+    """SUNRGBD depth PNGs store millimeters bit-rotated left by 3 in uint16;
+    undo with a 3-bit right-rotate then /1000 (sunrgbd.py:225-229), clip at
+    the dataset's 8 m ceiling."""
+    v = raw.astype(np.uint16)
+    mm = np.bitwise_or(np.right_shift(v, 3), np.left_shift(v, 13))
+    depth = mm.astype(np.float32) / 1000.0
+    return np.minimum(depth, 8.0)
+
+
+def cityscapes_disparity_to_depth(raw: np.ndarray, baseline: float,
+                                  fx: float) -> np.ndarray:
+    """Cityscapes precomputed disparity maps: disparity = (raw - 1)/256
+    where raw > 0 (0 marks invalid), depth = baseline * fx / disparity
+    (cityscapes.py:242-250). Invalid pixels return 0 (masked by eval)."""
+    disp = (raw.astype(np.float32) - 1.0) / 256.0
+    valid = raw > 0
+    disp = np.where(valid & (disp > 0), disp, 1.0)
+    depth = baseline * fx / disp
+    return np.where(valid, depth, 0.0).astype(np.float32)
+
+
 class DepthDataset:
-    """File-list dataset for NYU ('<root>/{image,depth}/...') or KITTI
-    Eigen-split layouts, following the toolbox's split files when present."""
+    """File-list dataset for the toolbox's four layouts, following its split
+    files: ``<root>/<dataset>_<split>.txt`` with space-separated
+    ``image depth`` paths (nyu/kitti/sunrgbd) or ``image disparity camera``
+    (cityscapes, third field = per-image camera JSON with fx + baseline)."""
 
     def __init__(self, data_root: str, split: str = "train", dataset: str = "nyu"):
         self.dataset = dataset
         self.data_root = data_root
         self.split = split
-        self.depth_scale = 1000.0 if dataset == "nyu" else 256.0
+        self.depth_scale = 1000.0 if dataset in ("nyu", "sunrgbd") else 256.0
         self.items = self._index()
 
-    def _index(self) -> List[Tuple[str, str]]:
+    def _index(self) -> List[Tuple[str, ...]]:
         r = self.data_root
         pairs = []
         split_file = os.path.join(r, f"{self.dataset}_{self.split}.txt")
@@ -60,18 +92,31 @@ class DepthDataset:
             for line in open(split_file):
                 parts = line.split()
                 if len(parts) >= 2 and parts[1] != "None":
-                    pairs.append((os.path.join(r, parts[0]), os.path.join(r, parts[1])))
+                    pairs.append(tuple(
+                        os.path.join(r, p.lstrip("/\\")) for p in parts))
         return pairs
 
     def __len__(self):
         return len(self.items)
 
     def load(self, idx: int) -> Dict[str, np.ndarray]:
+        import json as _json
+
         from PIL import Image
 
-        img_path, dep_path = self.items[idx]
+        item = self.items[idx]
+        img_path, dep_path = item[0], item[1]
         img = np.asarray(Image.open(img_path).convert("RGB"), np.float32)
-        depth = np.asarray(Image.open(dep_path), np.float32) / self.depth_scale
+        raw = np.asarray(Image.open(dep_path))
+        if self.dataset == "sunrgbd":
+            depth = sunrgbd_decode_depth(raw)
+        elif self.dataset == "cityscapes":
+            with open(item[2]) as f:
+                cam = _json.load(f)
+            depth = cityscapes_disparity_to_depth(
+                raw, cam["extrinsic"]["baseline"], cam["intrinsic"]["fx"])
+        else:
+            depth = raw.astype(np.float32) / self.depth_scale
         if self.dataset == "kitti":
             img, depth = kb_crop(img, depth)
         return {"image": img, "label": depth.astype(np.float32)}

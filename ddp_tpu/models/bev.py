@@ -142,11 +142,11 @@ class DDPBEVCamera(nn.Module):
         return total, losses
 
     # --- inference -------------------------------------------------------
-    def sample(self, img, cam2lidar_rots, cam2lidar_trans, intrins, post_rots,
-               post_trans) -> jnp.ndarray:
-        """3-step DDIM, randsteps ensembling, step accumulation
-        (fusion_models/ddp.py:268-303). Returns sigmoid scores
-        [B, outG, outG, K]."""
+    def _rollout_hypotheses(self, img, cam2lidar_rots, cam2lidar_trans,
+                            intrins, post_rots, post_trans) -> jnp.ndarray:
+        """3-step DDIM with step accumulation (fusion_models/ddp.py:268-303),
+        keeping the randsteps hypotheses separate: returns per-hypothesis
+        step-accumulated sigmoid scores [r, B, outG, outG, K]."""
         cfg = self.diffusion
         x = self.extract_bev_feat(img, cam2lidar_rots, cam2lidar_trans, intrins,
                                   post_rots, post_trans, train=False)
@@ -175,6 +175,33 @@ class DDPBEVCamera(nn.Module):
             x0 = self.encode_masks(pred_small)
             mask_t = diff.ddim_update(mask_t, x0, log_snr, log_snr_next)
             outs.append(probs)
-        out = jnp.stack(outs, 0).reshape(T * r, b, self.out_grid, self.out_grid,
+        out = jnp.stack(outs, 0).reshape(T, r, b, self.out_grid, self.out_grid,
                                          self.num_classes)
-        return out.mean(axis=0)
+        return out.mean(axis=0)  # accumulate steps, keep hypotheses
+
+    def sample(self, img, cam2lidar_rots, cam2lidar_trans, intrins, post_rots,
+               post_trans) -> jnp.ndarray:
+        """3-step DDIM, randsteps ensembling, step accumulation. Returns
+        sigmoid scores [B, outG, outG, K]."""
+        return self._rollout_hypotheses(
+            img, cam2lidar_rots, cam2lidar_trans, intrins, post_rots,
+            post_trans).mean(axis=0)
+
+    def sample_with_uncertainty(self, img, cam2lidar_rots, cam2lidar_trans,
+                                intrins, post_rots, post_trans):
+        """Inference + per-cell uncertainty from the randsteps ensemble
+        (BASELINE config #3's uncertainty maps, BEV analog).
+
+        Returns (scores [B, G, G, K], uncertainty dict):
+          variance — mean over classes of the across-hypothesis variance of
+                     the per-class sigmoid scores (0 when randsteps == 1)
+          entropy  — mean over classes of the Bernoulli entropy (nats) of
+                     the ensemble-mean score (total uncertainty)
+        """
+        hyp = self._rollout_hypotheses(img, cam2lidar_rots, cam2lidar_trans,
+                                       intrins, post_rots, post_trans)
+        scores = hyp.mean(axis=0)
+        var = hyp.var(axis=0).mean(axis=-1)  # [B, G, G]
+        p = jnp.clip(scores, 1e-12, 1.0 - 1e-12)
+        ent = (-(p * jnp.log(p) + (1 - p) * jnp.log1p(-p))).mean(axis=-1)
+        return scores, {"variance": var, "entropy": ent}

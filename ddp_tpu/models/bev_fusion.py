@@ -201,8 +201,10 @@ class DDPBEVFusion(nn.Module):
         return total, losses
 
     # --- inference -------------------------------------------------------
-    def sample(self, img, cam2lidar_rots, cam2lidar_trans, intrins, post_rots,
-               post_trans, voxel_feats, rulebooks):
+    def _rollout_hypotheses(self, img, cam2lidar_rots, cam2lidar_trans,
+                            intrins, post_rots, post_trans, voxel_feats,
+                            rulebooks):
+        """Per-hypothesis step-accumulated scores [r, B, outG, outG, K]."""
         cfg = self.diffusion
         x = self.extract_bev_feat(img, cam2lidar_rots, cam2lidar_trans, intrins,
                                   post_rots, post_trans, voxel_feats, rulebooks,
@@ -227,6 +229,26 @@ class DDPBEVFusion(nn.Module):
             x0 = self.encode_masks(pred_small)
             mask_t = diff.ddim_update(mask_t, x0, log_snr, log_snr_next)
             outs.append(probs)
-        out = jnp.stack(outs, 0).reshape(T * r, b, self.out_grid, self.out_grid,
+        out = jnp.stack(outs, 0).reshape(T, r, b, self.out_grid, self.out_grid,
                                          self.num_classes)
-        return out.mean(axis=0)
+        return out.mean(axis=0)  # accumulate steps, keep hypotheses
+
+    def sample(self, img, cam2lidar_rots, cam2lidar_trans, intrins, post_rots,
+               post_trans, voxel_feats, rulebooks):
+        return self._rollout_hypotheses(
+            img, cam2lidar_rots, cam2lidar_trans, intrins, post_rots,
+            post_trans, voxel_feats, rulebooks).mean(axis=0)
+
+    def sample_with_uncertainty(self, img, cam2lidar_rots, cam2lidar_trans,
+                                intrins, post_rots, post_trans, voxel_feats,
+                                rulebooks):
+        """Fusion-path uncertainty maps — same statistics as the camera-only
+        BEV model's sample_with_uncertainty."""
+        hyp = self._rollout_hypotheses(img, cam2lidar_rots, cam2lidar_trans,
+                                       intrins, post_rots, post_trans,
+                                       voxel_feats, rulebooks)
+        scores = hyp.mean(axis=0)
+        var = hyp.var(axis=0).mean(axis=-1)
+        p = jnp.clip(scores, 1e-12, 1.0 - 1e-12)
+        ent = (-(p * jnp.log(p) + (1 - p) * jnp.log1p(-p))).mean(axis=-1)
+        return scores, {"variance": var, "entropy": ent}

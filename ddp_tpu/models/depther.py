@@ -116,10 +116,12 @@ class DDPDepther(nn.Module):
             out.append((1.0 - step / T, max(1.0 - (step + 1 + td) / T, 0.0)))
         return np.asarray(out, np.float32)
 
-    def sample(self, img: jnp.ndarray) -> jnp.ndarray:
-        """Inference: 3-step DDIM (gamma form, x0 clamped to ±bit_scale),
-        randsteps-averaged, clamped to [min_depth, max_depth]. Returns
-        [B, H, W] metric depth."""
+    def _rollout_hypotheses(self, img: jnp.ndarray) -> jnp.ndarray:
+        """Encode once, run the randsteps-folded 3-step DDIM rollout (gamma
+        form, x0 clamped to ±bit_scale); return the per-hypothesis metric
+        depth [r, B, ph, pw] BEFORE ensemble averaging — the across-
+        hypothesis spread is the depther's native uncertainty signal
+        (reference machinery ddp.py:219,241-245 is task-generic)."""
         cfg = self.diffusion
         x = self.extract_feat(img, train=False)
         b, h, w, _ = x.shape
@@ -145,8 +147,37 @@ class DDPDepther(nn.Module):
             depth_t = jnp.sqrt(a_next) * x0 + jnp.sqrt(1.0 - a_next) * eps
 
         ph, pw = pred.shape[1:3]
-        pred = pred.reshape(r, b, ph, pw).mean(axis=0)
-        pred = jnp.clip(pred, self.min_depth, self.max_depth)
-        pred = resize(pred[..., None], img.shape[1:3], mode="bilinear",
+        return jnp.clip(pred.reshape(r, b, ph, pw),
+                        self.min_depth, self.max_depth)
+
+    def sample(self, img: jnp.ndarray) -> jnp.ndarray:
+        """Inference: randsteps-averaged rollout clamped to
+        [min_depth, max_depth]. Returns [B, H, W] metric depth."""
+        pred = self._rollout_hypotheses(img).mean(axis=0)
+        return resize(pred[..., None], img.shape[1:3], mode="bilinear",
                       align_corners=self.align_corners)[..., 0]
-        return pred
+
+    def sample_with_uncertainty(self, img: jnp.ndarray):
+        """Inference + per-pixel uncertainty from the randsteps ensemble
+        (BASELINE config #3: "multi-step denoising with uncertainty maps" —
+        the depth analog of the segmentor's sample_with_uncertainty).
+
+        Returns (depth [B, H, W], uncertainty dict), all in metric units:
+          std           — across-hypothesis standard deviation of metric
+                          depth (0 when randsteps == 1)
+          interval_low  — 10th percentile across hypotheses
+          interval_high — 90th percentile across hypotheses
+        """
+        hyp = self._rollout_hypotheses(img)  # [r, B, ph, pw]
+        depth = hyp.mean(axis=0)
+        std = hyp.std(axis=0)
+        lo = jnp.percentile(hyp, 10.0, axis=0)
+        hi = jnp.percentile(hyp, 90.0, axis=0)
+        full = img.shape[1:3]
+
+        def up(a):
+            return resize(a[..., None], full, mode="bilinear",
+                          align_corners=self.align_corners)[..., 0]
+
+        return up(depth), {"std": up(std), "interval_low": up(lo),
+                           "interval_high": up(hi)}

@@ -198,7 +198,7 @@ def _dtable_pallas(labels: jnp.ndarray, demb: jnp.ndarray,
 # --- differentiable public API ------------------------------------------------
 # NOTE: labels cross the custom_vjp boundary as float32, not int32. An int
 # primal input would require a float0 cotangent, and float0 buffers wedge the
-# axon TPU relay backend (measured 2026-08-20: a trivial float0 custom_vjp
+# sandboxed TPU relay backend (measured: a trivial float0 custom_vjp
 # hangs the device). The f32 round-trip is exact for class indices < 2^24 and
 # its zero cotangent is DCE'd by XLA.
 

@@ -12,7 +12,7 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# The axon sitecustomize force-sets jax_platforms='axon,cpu' in every python
+# The sandbox sitecustomize force-sets a TPU-relay-first jax_platforms in every
 # process, which would silently route "CPU" tests over the TPU tunnel. Pin the
 # config back to cpu before any backend initializes.
 jax.config.update("jax_platforms", "cpu")

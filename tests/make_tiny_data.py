@@ -71,6 +71,64 @@ def make_nyu():
             f.writelines(lines)
 
 
+def make_sunrgbd():
+    """SUNRGBD layout: jpg images + uint16 depth PNGs stored millimeters
+    bit-rotated LEFT by 3 (sunrgbd.py:225-229 decodes with a right-rotate),
+    split file with image/depth pairs."""
+    rng = np.random.default_rng(7)
+    r = os.path.join(ROOT, "sunrgbd")
+    os.makedirs(os.path.join(r, "kv1", "image"), exist_ok=True)
+    lines = []
+    for i in range(2):
+        _img(rng, 48, 64).save(os.path.join(r, "kv1", "image", f"{i}.jpg"))
+        mm = rng.uniform(500, 7500, (48, 64)).astype(np.uint16)
+        mm[0, :4] = 0
+        enc = (np.left_shift(mm, 3) | np.right_shift(mm, 13)).astype(np.uint16)
+        Image.fromarray(enc).save(os.path.join(r, "kv1", "image", f"{i}.png"))
+        lines.append(f"kv1/image/{i}.jpg kv1/image/{i}.png\n")
+    for split in ("train", "test"):
+        with open(os.path.join(r, f"sunrgbd_{split}.txt"), "w") as f:
+            f.writelines(lines)
+
+
+def make_cityscapes_depth():
+    """Cityscapes depth layout: leftImg8bit PNGs + precomputed disparity
+    PNGs (raw = disparity*256 + 1, 0 = invalid) + per-image camera JSON
+    with fx and baseline; 3-field split lines (cityscapes.py:130-142)."""
+    import json
+
+    rng = np.random.default_rng(8)
+    r = os.path.join(ROOT, "cityscapes_depth")
+    for sub in ("leftImg8bit/train/tiny", "disparity/train/tiny",
+                "camera/train/tiny"):
+        os.makedirs(os.path.join(r, sub), exist_ok=True)
+    baseline, fx = 0.22, 2262.52
+    lines = []
+    for i in range(2):
+        name = f"tiny_{i:06d}"
+        _img(rng, 48, 96).save(
+            os.path.join(r, "leftImg8bit/train/tiny",
+                         f"{name}_leftImg8bit.png"))
+        # true depth 5..60 m -> disparity = baseline*fx/depth -> raw uint16
+        depth = rng.uniform(5.0, 60.0, (48, 96)).astype(np.float32)
+        disp = baseline * fx / depth
+        raw = np.round(disp * 256.0 + 1.0).astype(np.uint16)
+        raw[0, :4] = 0  # invalid pixels
+        Image.fromarray(raw).save(
+            os.path.join(r, "disparity/train/tiny", f"{name}_disparity.png"))
+        with open(os.path.join(r, "camera/train/tiny",
+                               f"{name}_camera.json"), "w") as f:
+            json.dump({"extrinsic": {"baseline": baseline},
+                       "intrinsic": {"fx": fx}}, f)
+        lines.append(
+            f"leftImg8bit/train/tiny/{name}_leftImg8bit.png "
+            f"disparity/train/tiny/{name}_disparity.png "
+            f"camera/train/tiny/{name}_camera.json\n")
+    for split in ("train", "test"):
+        with open(os.path.join(r, f"cityscapes_{split}.txt"), "w") as f:
+            f.writelines(lines)
+
+
 def make_nuscenes():
     rng = np.random.default_rng(3)
     r = os.path.join(ROOT, "nuscenes")
@@ -278,6 +336,8 @@ if __name__ == "__main__":
     make_ade()
     make_cityscapes()
     make_nyu()
+    make_sunrgbd()
+    make_cityscapes_depth()
     make_nuscenes()
     make_fill50k()
     make_raw_nuscenes()

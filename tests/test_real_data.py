@@ -239,3 +239,69 @@ def NuScenesFusionDataset_from(root):
         root, "train", image_size=(32, 64), out_grid=20,
         sparse_shape=(128, 128, 41), caps=(1024, 512, 256, 128, 128),
         voxel_size=(0.125, 0.125, 0.2), scope=8.0, sweeps_num=2)
+
+
+@pytest.mark.slow
+def test_sunrgbd_loader_and_train(tmp_path):
+    """SUNRGBD format (depth/depth/datasets/sunrgbd.py): bit-rotated uint16
+    depth PNGs decode to meters, clipped at the 8 m ceiling."""
+    from ddp_tpu.config import apply_overrides, get_config
+    from ddp_tpu.data.depth_datasets import DepthDataset
+
+    ds = DepthDataset(os.path.join(DATA, "sunrgbd"), "train", "sunrgbd")
+    assert len(ds) == 2
+    s = ds.load(0)
+    assert s["image"].shape == (48, 64, 3)
+    lab = s["label"]
+    assert lab.max() <= 8.0 and lab.max() > 0.3  # meters, 8 m ceiling
+    assert (lab == 0).any()  # invalid pixels preserved
+    # round-trip: values near the fixture's uniform(0.5, 7.5) range
+    assert 0.4 < lab[lab > 0].min() < 8.0
+
+    cfg = get_config("converge_depth")
+    cfg = apply_overrides(cfg, {
+        "data.dataset": "sunrgbd",
+        "data.data_root": os.path.join(DATA, "sunrgbd"),
+        "data.crop_size": "(32,32)", "data.batch_size": 4,
+        "model.backbone_variant": "nano", "model.embed_dims": 32,
+        "model.decoder_layers": 1, "model.decoder_ffn_dim": 64,
+        "model.max_depth": 8.0,
+        "runtime.total_iters": 2, "runtime.steps_per_dispatch": 1,
+        "runtime.ckpt_interval": 100, "runtime.eval_interval": 100,
+        "runtime.log_interval": 1, "runtime.tensorboard": False,
+        "runtime.workdir": str(tmp_path)})
+    _train_2_steps(cfg)
+
+
+@pytest.mark.slow
+def test_cityscapes_depth_loader_and_train(tmp_path):
+    """Cityscapes-depth format (depth/depth/datasets/cityscapes.py):
+    disparity PNG + camera JSON -> metric depth via baseline*fx/disparity."""
+    from ddp_tpu.config import apply_overrides, get_config
+    from ddp_tpu.data.depth_datasets import DepthDataset
+
+    ds = DepthDataset(os.path.join(DATA, "cityscapes_depth"), "train",
+                      "cityscapes")
+    assert len(ds) == 2
+    s = ds.load(0)
+    assert s["image"].shape == (48, 96, 3)
+    lab = s["label"]
+    assert (lab == 0).any()  # raw-0 disparity -> invalid
+    valid = lab[lab > 0]
+    # fixture encodes true depth uniform(5, 60) via the disparity formula;
+    # the decode must land back in that range (quantization ~<0.2 m)
+    assert 4.5 < valid.min() and valid.max() < 61.0
+
+    cfg = get_config("converge_depth")
+    cfg = apply_overrides(cfg, {
+        "data.dataset": "cityscapes",
+        "data.data_root": os.path.join(DATA, "cityscapes_depth"),
+        "data.crop_size": "(32,32)", "data.batch_size": 4,
+        "model.backbone_variant": "nano", "model.embed_dims": 32,
+        "model.decoder_layers": 1, "model.decoder_ffn_dim": 64,
+        "model.max_depth": 80.0,
+        "runtime.total_iters": 2, "runtime.steps_per_dispatch": 1,
+        "runtime.ckpt_interval": 100, "runtime.eval_interval": 100,
+        "runtime.log_interval": 1, "runtime.tensorboard": False,
+        "runtime.workdir": str(tmp_path)})
+    _train_2_steps(cfg)

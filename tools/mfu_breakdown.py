@@ -1,6 +1,6 @@
 """Measured breakdown of the flagship train step (VERDICT r3 item 4).
 
-The axon relay cannot return device xplane traces, so the breakdown is
+The sandboxed TPU relay cannot return device xplane traces, so the breakdown is
 measured by SUBTRACTION: each variant removes one component from the
 published train configuration (window decoder, b4, remat, bf16 policy) and
 is timed with the same on-device fori_loop discipline as bench.py. Deltas
@@ -153,7 +153,7 @@ def time_encoder_bwd(size, batch):
 
 def flops_of(size, batch, **kw):
     """XLA cost-model FLOPs of the full train step, CPU-lowered subprocess
-    (the axon backend returns no cost analysis — bench.py discipline)."""
+    (the relay backend returns no cost analysis — bench.py discipline)."""
     import subprocess
 
     code = ("import jax; jax.config.update('jax_platforms','cpu')\n"

@@ -29,7 +29,7 @@ import numpy as np
 
 def _setup_cache():
     """Persistent compile cache — opt-IN via DDP_TPU_CACHE, mirroring
-    bench.py: serializing executables through the axon relay backend has been
+    bench.py: serializing executables through the sandboxed TPU relay backend has been
     observed to wedge the process right after writing the cache entry
     (seen again 2026-08-21 on the converge_seg train step)."""
     if not os.environ.get("DDP_TPU_CACHE"):
@@ -461,8 +461,14 @@ def pretrain_vae(mc, iters=2500, batch=8, lr=2e-3, seed=0):
     # scaled latents had std 0.64, a train/sample prior mismatch.
     probe = jnp.asarray(np.stack(
         [ds.load(HELDOUT_BASE + 64 + j)["image"] for j in range(64)]))
-    mean, _ = vae.apply({"params": params}, probe, method=vae.encode)
-    scale = float(1.0 / (np.asarray(mean).std() + 1e-8))
+    mean, logvar = vae.apply({"params": params}, probe, method=vae.encode)
+    # std of the SAMPLED z (same reparameterization training uses), not of
+    # the posterior mean: with non-negligible logvar the mean-only std
+    # understates the latent std and reintroduces the prior mismatch
+    # (advisor r4)
+    z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+        jax.random.PRNGKey(seed + 2), mean.shape)
+    scale = float(1.0 / (np.asarray(z).std() + 1e-8))
     print(f"  vae latent std {1.0 / scale:.4f} -> scale_factor {scale:.5f}",
           flush=True)
     return params, scale
@@ -471,7 +477,7 @@ def pretrain_vae(mc, iters=2500, batch=8, lr=2e-3, seed=0):
 def train_controlnet_ondevice(cfg, init_variables, chunk=500, seed=0):
     """ControlNet training with ON-DEVICE data generation (r4).
 
-    The generic train() loop feeds host batches; on the axon relay every
+    The generic train() loop feeds host batches; through the sandboxed TPU relay every
     dispatch re-ships the full params+opt state (~0.5 steps/s for the 27M
     'small' stack regardless of compute). fill50k is procedural, so the
     batch is generated on chip (device_fill50k_batch) and the whole run is
@@ -503,12 +509,14 @@ def train_controlnet_ondevice(cfg, init_variables, chunk=500, seed=0):
     def one_step(carry, step_idx):
         params, opt_state = carry
         k = jax.random.fold_in(base_key, step_idx)
-        kd, kr = jax.random.split(k)
+        # independent streams: correlated diffusion/dropout keys are a
+        # latent hazard once dropout is enabled (advisor r4)
+        kd, kr, kdrop = jax.random.split(k, 3)
         img, hint, ids = device_fill50k_batch(kd, b, s)
 
         def loss_fn(p):
             loss, _ = model.apply({"params": p}, img, hint, ids,
-                                  rngs={"diffusion": kr, "dropout": kr})
+                                  rngs={"diffusion": kr, "dropout": kdrop})
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -525,6 +533,25 @@ def train_controlnet_ondevice(cfg, init_variables, chunk=500, seed=0):
     params = init_variables["params"]
     opt_state = tx.init(params)
     log_path = os.path.join(cfg.runtime.workdir, "train_log.jsonl")
+    ckpt = CheckpointManager(cfg.runtime.workdir,
+                             max_keep=cfg.runtime.max_keep_ckpts)
+
+    def save_ckpt(step_done):
+        st = TrainState.create(init_variables["params"], tx, {})
+        st = st.replace(step=jnp.asarray(step_done, jnp.int32),
+                        params=params, opt_state=opt_state)
+        ckpt.save(step_done, jax.device_get(st),
+                  meta={"preset": cfg.name, "ondevice_data": True})
+        # re-stamp scale.json with the step it matches, so a consumer can
+        # tell a scale that belongs to a real checkpoint from one left by
+        # an aborted pre-training run (advisor r4)
+        with open(os.path.join(cfg.runtime.workdir, "scale.json"), "w") as f:
+            json.dump({"cn_scale_factor": cfg.model.cn_scale_factor,
+                       "step": int(step_done)}, f)
+
+    # save at ckpt_interval boundaries (rounded up to chunk), not only at
+    # the end: a crash mid-run must not lose the whole run (advisor r4)
+    save_every = max(int(cfg.runtime.ckpt_interval), chunk)
     done = 0
     while done < total:
         n = min(chunk, total - done)
@@ -533,6 +560,7 @@ def train_controlnet_ondevice(cfg, init_variables, chunk=500, seed=0):
             params, opt_state, jnp.arange(done, done + n))
         losses = np.asarray(losses)  # forces completion of the chunk
         dt = time.time() - t0
+        prev = done
         done += n
         rec = {"step": done, "lr": float(sched(done - 1)),
                "steps_per_s": round(n / dt, 3),
@@ -543,14 +571,10 @@ def train_controlnet_ondevice(cfg, init_variables, chunk=500, seed=0):
             f.write(json.dumps(rec) + "\n")
         print(f"  [{done}/{total}] loss {rec['loss_chunk_mean']:.4f} "
               f"({rec['steps_per_s']:.1f} steps/s)", flush=True)
+        if done < total and prev // save_every != done // save_every:
+            save_ckpt(done)
 
-    state = TrainState.create(init_variables["params"], tx, {})
-    state = state.replace(step=jnp.asarray(done, jnp.int32), params=params,
-                          opt_state=opt_state)
-    ckpt = CheckpointManager(cfg.runtime.workdir,
-                             max_keep=cfg.runtime.max_keep_ckpts)
-    ckpt.save(done, jax.device_get(state),
-              meta={"preset": cfg.name, "ondevice_data": True})
+    save_ckpt(done)
     return {"params": params}
 
 
@@ -589,6 +613,16 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
     os.makedirs(cfg.runtime.workdir, exist_ok=True)
     # restore the measured latent scale (written by a fresh controlnet run's
     # VAE pretrain) so resume/eval-only rebuilds match the trained scaling
+    if resume:
+        # refuse a resume with nothing to resume from: the generic train()
+        # path would otherwise silently start from random init (and for
+        # controlnet, without the stage-1 VAE pretrain) — advisor r4
+        from ddp_tpu.train.checkpoint import CheckpointManager
+
+        if CheckpointManager(cfg.runtime.workdir).latest_step() is None:
+            raise FileNotFoundError(
+                f"--resume requested but no checkpoint exists in "
+                f"{cfg.runtime.workdir}; run without --resume first")
     sj = os.path.join(cfg.runtime.workdir, "scale.json")
     if name == "controlnet" and (eval_only or resume) and os.path.exists(sj):
         with open(sj) as f:

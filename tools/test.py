@@ -23,9 +23,10 @@ def parse_args():
                         "randomness, segmentation/README.md:94)")
     p.add_argument("--set", nargs="*", default=[], metavar="K=V")
     p.add_argument("--uncertainty", action="store_true",
-                   help="seg only: also report per-image mean ensemble "
-                        "variance / predictive entropy (randsteps "
-                        "multiple-hypothesis uncertainty, ddp.py:219)")
+                   help="also report per-image ensemble uncertainty from "
+                        "the randsteps hypotheses (seg: variance + "
+                        "predictive entropy; depth: metric-depth std + "
+                        "80% interval width; ddp.py:219)")
     p.add_argument("--platform", default=None)
     return p.parse_args()
 
@@ -101,23 +102,47 @@ def main():
         from ddp_tpu.data.depth_datasets import garg_crop_mask, nyu_eval_mask
         from ddp_tpu.evaluation.metrics import depth_metrics
 
+        if args.uncertainty:
+
+            @jax.jit
+            def predict_depth_unc(variables, img, rng):
+                return model.apply(variables, img,
+                                   method=model.sample_with_uncertainty,
+                                   rngs={"diffusion": rng})
+
         preds, gts, masks = [], [], []
+        unc_std, unc_width = [], []
         for i in range(n):
             s = ds.load(i)
             s = normalize(s, cfg.data.mean, cfg.data.std)
-            d = predict(variables, jnp.asarray(s["image"][None]),
-                        jax.random.fold_in(rng, i))
+            if args.uncertainty:
+                d, unc = predict_depth_unc(
+                    variables, jnp.asarray(s["image"][None]),
+                    jax.random.fold_in(rng, i))
+                unc_std.append(float(np.asarray(unc["std"]).mean()))
+                unc_width.append(float(np.asarray(
+                    unc["interval_high"] - unc["interval_low"]).mean()))
+            else:
+                d = predict(variables, jnp.asarray(s["image"][None]),
+                            jax.random.fold_in(rng, i))
             preds.append(np.asarray(d[0]))
             gts.append(s["label"])
             shp = s["label"].shape
-            if cfg.data.dataset == "nyu":
+            if cfg.data.dataset in ("nyu", "sunrgbd"):
+                # sunrgbd eval uses the same Eigen crop (sunrgbd.py eval_mask)
                 masks.append(nyu_eval_mask(shp))
-            elif cfg.data.dataset == "kitti":
+            elif cfg.data.dataset in ("kitti", "cityscapes"):
                 masks.append(garg_crop_mask(shp))
             else:
                 masks.append(np.ones(shp, bool))
         m = depth_metrics(np.stack(preds), np.stack(gts), np.stack(masks))
         print(" | ".join(f"{k} {v:.4f}" for k, v in m.items()) + f"  (n={n})")
+        if args.uncertainty:
+            print(f"mean hypothesis std {np.mean(unc_std):.4f} m | "
+                  f"mean 80% interval width {np.mean(unc_width):.4f} m")
+            if cfg.model.diffusion.randsteps == 1:
+                print("  (randsteps=1: hypothesis std is trivially 0 — use "
+                      "--set model.diffusion.randsteps=5)")
         return
 
     if args.uncertainty:
