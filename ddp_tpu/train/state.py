@@ -54,6 +54,7 @@ def make_train_step(
     batch_keys: Tuple[str, ...] = ("image", "label"),
     mixed_precision: bool = False,
     jit: bool = True,
+    microbatch: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted train step. ``model`` is a flax module whose __call__
     returns (loss, logs) given the batch values named by ``batch_keys``
@@ -69,6 +70,17 @@ def make_train_step(
     loss scaling bf16 doesn't need): master params, optimizer state and the
     final loss stay f32; the forward/backward runs on bf16 casts of params and
     float inputs, and the cast boundary upcasts the gradients back to f32.
+
+    ``microbatch=k`` (k > 1) accumulates gradients over k sequential
+    sub-batch chunks inside the ONE jitted step (lax.scan) — the training-
+    side analog of the inference program split in evaluation/batched.py:
+    each chunk's live activation set is B/k of the monolithic step's, so
+    per-chip batch can grow past the ~65k-decoder-token working-set cliff
+    (ops/pallas/b8_cliff_notes.md). Numerics: equal chunks, so the mean of
+    chunk-mean grads equals the full-batch mean grad; BN stats thread
+    through the scan (chunk i sees stats updated by chunk i-1); each chunk
+    folds its index into the diffusion/dropout rngs. With a mesh, requires
+    (B / k) divisible by the data-axis size.
     """
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
@@ -81,23 +93,52 @@ def make_train_step(
         else:
             batch_c = batch
 
-        def loss_fn(params):
+        def loss_fn(params, stats, chunk, rngs):
             variables = {"params": _to_bf16(params) if mixed_precision
                          else params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+            if stats:
+                variables["batch_stats"] = stats
             (loss, logs), mutated = model.apply(
                 variables,
-                *[batch_c[k] for k in batch_keys],
+                *[chunk[k] for k in batch_keys],
                 train=True,
-                rngs={"diffusion": d_rng, "dropout": drop_rng},
+                rngs=rngs,
                 mutable=["batch_stats"],
             )
             return loss.astype(jnp.float32), (logs, mutated.get("batch_stats", {}))
 
-        (loss, (logs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        if microbatch > 1:
+            b0 = batch_c[batch_keys[0]].shape[0]
+            assert b0 % microbatch == 0, (b0, microbatch)
+            stacked = {
+                k: batch_c[k].reshape(
+                    (microbatch, b0 // microbatch) + batch_c[k].shape[1:])
+                for k in batch_keys}
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+
+            def scan_body(carry, inp):
+                gsum, stats = carry
+                i, chunk = inp
+                rngs = {"diffusion": jax.random.fold_in(d_rng, i),
+                        "dropout": jax.random.fold_in(drop_rng, i)}
+                (loss_i, (logs_i, stats_i)), g_i = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, stats, chunk, rngs)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g_i)
+                return (gsum, stats_i), (loss_i, logs_i)
+
+            (gsum, new_stats), (loss_v, logs_v) = jax.lax.scan(
+                scan_body, (zero_grads, state.batch_stats),
+                (jnp.arange(microbatch), stacked))
+            grads = jax.tree_util.tree_map(
+                lambda g: g / microbatch, gsum)
+            loss = loss_v.mean()
+            logs = jax.tree_util.tree_map(lambda x: x.mean(axis=0), logs_v)
+        else:
+            (loss, (logs, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch_c,
+                {"diffusion": d_rng, "dropout": drop_rng})
         if mixed_precision:
             # BN running stats and logged scalars stay f32 in the state
             f32 = lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
