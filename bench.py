@@ -33,7 +33,7 @@ if os.environ.get("DDP_TPU_CACHE"):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _model(attn="msda", remat=False, loss_at="full"):
+def _model(attn="msda", remat=False, loss_at="full", window=8, heads=8):
     from ddp_tpu.core.diffusion import DiffusionConfig
     from ddp_tpu.models.segmentor import DDPSegmentor
 
@@ -41,7 +41,7 @@ def _model(attn="msda", remat=False, loss_at="full"):
         num_classes=150, backbone_type="swin", backbone_variant="tiny",
         diffusion=DiffusionConfig(timesteps=3, randsteps=1, accumulation=True),
         drop_path_rate=0.0, decoder_attn=attn, decoder_remat=remat,
-        loss_at=loss_at,
+        loss_at=loss_at, decoder_window=window, decoder_heads=heads,
     )
 
 
@@ -123,12 +123,14 @@ def _peak_flops(device):
     return None, kind
 
 
-def _build_train(size, batch, attn, remat, loss_at="full"):
+def _build_train(size, batch, attn, remat, loss_at="full", microbatch=1,
+                 window=8, heads=8):
     """Shared construction for the train bench and its FLOPs analysis."""
     from ddp_tpu.train.optim import OptimConfig, make_optimizer
     from ddp_tpu.train.state import TrainState, make_train_step
 
-    model = _model(attn, remat=remat, loss_at=loss_at)
+    model = _model(attn, remat=remat, loss_at=loss_at, window=window,
+                   heads=heads)
     variables = _init_variables(model, size)
     tx = make_optimizer(OptimConfig(total_steps=1000, warmup_steps=0),
                         variables["params"])
@@ -136,7 +138,8 @@ def _build_train(size, batch, attn, remat, loss_at="full"):
                               variables.get("batch_stats", {}),
                               jax.random.PRNGKey(3))
     raw_step = make_train_step(model, tx, mesh=None, donate=False,
-                               mixed_precision=True, jit=False)
+                               mixed_precision=True, jit=False,
+                               microbatch=microbatch)
     # deterministic RANDOM batch: an all-zero image keeps the freshly-init'd
     # network at its exact-0 fixed point, where the Swin backward emits NaN
     # grads (r4 finding) — the params checksum must stay finite to serve as
@@ -188,7 +191,8 @@ def _train_flops_subprocess(size, batch, attn, remat, loss_at="full"):
     return None
 
 
-def bench_train(size=512, batch=8, attn="msda", remat=None, loss_at="full"):
+def bench_train(size=512, batch=8, attn="msda", remat=None, loss_at="full",
+                microbatch=1, window=8, heads=8):
     """Full train step (fwd+bwd+clip+AdamW, bf16 policy) steps/sec/chip.
 
     The on-device fori_loop body feeds each step's params into the next and
@@ -203,9 +207,10 @@ def bench_train(size=512, batch=8, attn="msda", remat=None, loss_at="full"):
         # the window decoder FITS un-remat'd at b4 and is 11% faster that
         # way (work_dirs/mfu_breakdown.json no_remat row) — remat only
         # where memory demands it
-        remat = (attn != "window") or batch > 4
+        remat = (attn != "window") or (batch // max(microbatch, 1)) > 4
     raw_step, state, batch_dev = _build_train(size, batch, attn, remat,
-                                              loss_at)
+                                              loss_at, microbatch, window,
+                                              heads)
 
     # FLOPs/step from XLA's own cost model of the lowered (uncompiled) step —
     # basis for the MFU row (reference discipline: tools/get_flops.py). The
@@ -233,6 +238,10 @@ def bench_train(size=512, batch=8, attn="msda", remat=None, loss_at="full"):
     row = {"steps_per_s": round(steps_s, 4),
            "img_per_s": round(batch / per_iter, 3), "batch": batch,
            "remat": bool(remat)}
+    if microbatch > 1:
+        row["microbatch"] = microbatch
+    if (window, heads) != (8, 8):
+        row["window"], row["heads"] = window, heads
     if flops_per_step:
         row["tflops_per_step"] = round(flops_per_step / 1e12, 3)
         peak, kind = _peak_flops(jax.devices()[0])

@@ -29,6 +29,11 @@ class ModelConfig:
     drop_path_rate: float = 0.3
     self_aligned: bool = False
     decoder_attn: str = "msda"  # 'msda' | 'window' (TPU-native dense)
+    # window grid for decoder_attn='window'; 16 with decoder_heads=4 is the
+    # measured-fast shape (work_dirs/decoder_microbench.json: the backward's
+    # tiny 8x64x32 per-head matmuls are the decoder's cost — bigger windows
+    # and 64-dim heads cut decoder train 29% on v5e)
+    decoder_window: int = 8
     decoder_remat: bool = False  # jax.checkpoint decoder layers (train memory)
     loss_at: str = "full"  # 'full' (reference parity) | 'quarter' (TPU-native)
     decoder_film: str = "v1"  # 'v1' | 'v2' | 'v3' FiLM layer variant
@@ -578,6 +583,7 @@ def build_model(mc: ModelConfig):
             decoder_heads=mc.decoder_heads,
             decoder_ffn_dim=mc.decoder_ffn_dim,
             decoder_attn=mc.decoder_attn,
+            decoder_window=mc.decoder_window,
             decoder_film=mc.decoder_film,
             decoder_pos=mc.decoder_pos,
             self_aligned=mc.self_aligned,

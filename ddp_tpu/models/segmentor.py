@@ -29,7 +29,8 @@ from ..nn.common import ConvModule
 from ..nn.convnext import ConvNeXt, convnext_variant
 from ..nn.fpn import FPN, MultiStageMerging
 from ..nn.heads import DeformableHeadWithTime, FCNHead
-from ..nn.losses import cross_entropy_seg, seg_accuracy
+from ..nn.losses import (cross_entropy_seg,
+                         cross_entropy_seg_upsampled, seg_accuracy)
 from ..nn.swin import SwinTransformer, swin_variant
 from ..nn.time_embed import TimeMLP
 from ..ops.resize import resize
@@ -51,6 +52,9 @@ class DDPSegmentor(nn.Module):
     # 'msda' = faithful deformable attention; 'window' = TPU-native dense
     # shifted-window attention (no gather; see ops/pallas/msda_notes.md)
     decoder_attn: str = "msda"
+    # window grid for decoder_attn='window'; 16 with decoder_heads=4 is the
+    # measured-fast shape (work_dirs/decoder_microbench.json, r5)
+    decoder_window: int = 8
     # FiLM layer variant: 'v1' post | 'v2' pre-norm dual | 'v3' per-norm dual
     # (ref transformer.py BaseTransformerLayer/V2/V3)
     decoder_film: str = "v1"
@@ -85,7 +89,8 @@ class DDPSegmentor(nn.Module):
         self.decode_head = DeformableHeadWithTime(
             self.num_classes, self.embed_dims, num_layers=self.decoder_layers,
             num_heads=self.decoder_heads, ffn_dim=self.decoder_ffn_dim,
-            attn_type=self.decoder_attn, film=self.decoder_film,
+            attn_type=self.decoder_attn, window=self.decoder_window,
+            film=self.decoder_film,
             pos_type=self.decoder_pos, remat=self.decoder_remat,
         )
         self.aux_head = FCNHead(self.num_classes, self.embed_dims)
@@ -187,16 +192,30 @@ class DDPSegmentor(nn.Module):
                         if aux_logits is not None else jnp.zeros((), loss_ce.dtype))
         else:
             full = gt.shape[1:3]
-            logits_up = resize(logits, full, mode="bilinear",
-                               align_corners=self.align_corners)
-            loss_ce = cross_entropy_seg(logits_up, gt)
-            acc = seg_accuracy(logits_up, gt)
-            if aux_logits is not None:
-                aux_up = resize(aux_logits, full, mode="bilinear",
-                                align_corners=self.align_corners)
-                loss_aux = self.aux_weight * cross_entropy_seg(aux_up, gt)
+            s = full[0] // h
+            if (not self.align_corners and s > 1 and full == (h * s, w * s)):
+                # fused phase-decomposed upsample+CE: same math as
+                # resize+CE (parity-tested) without materializing the
+                # full-res f32 logits — the step's single biggest HBM cost
+                # (train_profile_notes.md: ~20% of the 512² train step)
+                loss_ce, acc = cross_entropy_seg_upsampled(
+                    logits, gt, s, with_acc=True)
+                loss_aux = (
+                    self.aux_weight * cross_entropy_seg_upsampled(
+                        aux_logits, gt, s)
+                    if aux_logits is not None
+                    else jnp.zeros((), loss_ce.dtype))
             else:
-                loss_aux = jnp.zeros((), loss_ce.dtype)
+                logits_up = resize(logits, full, mode="bilinear",
+                                   align_corners=self.align_corners)
+                loss_ce = cross_entropy_seg(logits_up, gt)
+                acc = seg_accuracy(logits_up, gt)
+                if aux_logits is not None:
+                    aux_up = resize(aux_logits, full, mode="bilinear",
+                                    align_corners=self.align_corners)
+                    loss_aux = self.aux_weight * cross_entropy_seg(aux_up, gt)
+                else:
+                    loss_aux = jnp.zeros((), loss_ce.dtype)
 
         loss = loss_ce + loss_aux
         logs = {

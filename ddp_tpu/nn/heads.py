@@ -31,6 +31,11 @@ class DeformableHeadWithTime(nn.Module):
     film: str = "v1"  # 'v1' | 'v2' | 'v3' layer variants
     pos_type: str = "sine"  # 'sine' | 'learned'
     remat: bool = False  # jax.checkpoint each decoder layer (train memory)
+    # window-attention grid size (attn_type='window' only). 8 matches the
+    # original TPU-native decoder; 16 with num_heads=4 is the measured-fast
+    # shape (decoder_microbench.json: backward's tiny per-head matmuls are
+    # the cost — bigger windows x 64-dim heads cut decoder train 29%)
+    window: int = 8
 
     def _pos(self, h, w, dtype):
         if self.pos_type == "learned":
@@ -55,7 +60,8 @@ class DeformableHeadWithTime(nn.Module):
         q = TimeFiLMEncoder(
             self.num_layers, self.embed_dims, self.num_heads, 1, self.num_points,
             self.ffn_dim, use_time=True, attn_type=self.attn_type,
-            film=self.film, remat=self.remat, name="encoder",
+            window=self.window, film=self.film, remat=self.remat,
+            name="encoder",
         )(q, time, pos, refs, spatial_shapes)
         q = q.reshape(b, h, w, c)
         return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(q)

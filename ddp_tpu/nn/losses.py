@@ -45,6 +45,103 @@ def seg_accuracy(logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = 2
     return correct.sum() / jnp.maximum(valid.sum(), 1)
 
 
+def _phase_taps(scale: int, align_corners: bool):
+    """Per-phase (shift, w_lo, w_hi) of an integer-scale bilinear upsample.
+
+    Output pixel o = scale*i + p samples src = (o+0.5)/scale - 0.5
+    = i + (p + 0.5)/scale - 0.5 (torch align_corners=False), i.e. a fixed
+    fractional offset per phase: tap pair (i-1, i) when the offset is
+    negative, (i, i+1) when positive — both expressible as edge-clamped
+    static shifts of the latent grid, no gather.
+    """
+    assert not align_corners, "fused path covers the align_corners=False default"
+    taps = []
+    for p in range(scale):
+        phi = (p + 0.5) / scale - 0.5
+        if phi < 0:
+            taps.append((-1, -phi, 1.0 + phi))  # lo = i-1, hi = i
+        else:
+            taps.append((+1, 1.0 - phi, phi))  # lo = i, hi = i+1
+    return taps
+
+
+def _shift_edge(x: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
+    """x shifted by d along axis with edge-replicate padding (static slices)."""
+    if d == 0:
+        return x
+    n = x.shape[axis]
+    idx = [slice(None)] * x.ndim
+    if d < 0:  # neighbor at i-1: prepend edge row, drop last
+        idx[axis] = slice(0, n + d)
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (-d, 0)
+    else:  # neighbor at i+1
+        idx[axis] = slice(d, n)
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, d)
+    return jnp.pad(x[tuple(idx)], pad, mode="edge")
+
+
+def cross_entropy_seg_upsampled(
+    logits: jnp.ndarray,  # [B, h, w, K] latent-grid logits
+    labels: jnp.ndarray,  # [B, s*h, s*w] int full-res labels
+    scale: int,
+    ignore_index: int = 255,
+    align_corners: bool = False,
+    with_acc: bool = False,
+):
+    """CE of bilinear-upsampled logits WITHOUT materializing the full-res
+    logits tensor — the flagship train step's single biggest cost
+    (train_profile_notes.md: the 512²x150 f32 upsample+CE is ~20% of the
+    step, pure HBM traffic; 630 MB per head per direction).
+
+    Equivalent by phase decomposition: an integer-scale bilinear upsample
+    is, per output phase (p, q), a fixed 2x2-tap lerp of edge-clamped
+    SHIFTED copies of the latent grid — static slices the TPU prefers over
+    the resize gathers. Each of the scale² phases computes its CE against
+    the strided label slice labels[:, p::s, q::s] at latent resolution and
+    the partial sums combine exactly (same nll sum, same denominator).
+    Matches resize(...)+cross_entropy_seg to float tolerance incl. grads
+    (tests/test_losses_upsampled.py).
+
+    Returns loss, or (loss, acc) when with_acc (acc = full-res pixel
+    accuracy, argmax per phase, no materialization either).
+    """
+    b, h, w, k = logits.shape
+    taps = _phase_taps(scale, align_corners)
+    nll_sum = jnp.zeros((), jnp.float32)
+    correct = jnp.zeros((), jnp.float32)
+    valid_count = jnp.zeros((), jnp.float32)
+    # f32 like resize_bilinear's accumulation dtype (latent-res is cheap)
+    logits = logits.astype(jnp.float32)
+    # hoist the row/col shifted copies: phases share {-1, 0, +1} neighbors
+    rows = {d: _shift_edge(logits, d, 1) for d in (-1, 0, 1)}
+    for p, (dy, wy_lo, wy_hi) in enumerate(taps):
+        # vertical lerp for this row phase: [B, h, w, K]
+        zy = (rows[dy] * wy_lo + rows[0] * wy_hi if dy < 0
+              else rows[0] * wy_lo + rows[dy] * wy_hi)
+        for q, (dx, wx_lo, wx_hi) in enumerate(taps):
+            zx_n = _shift_edge(zy, dx, 2)
+            z = (zx_n * wx_lo + zy * wx_hi if dx < 0
+                 else zy * wx_lo + zx_n * wx_hi)
+            lab = labels[:, p::scale, q::scale]
+            valid = lab != ignore_index
+            safe = jnp.where(valid, lab, 0)
+            logp = jax.nn.log_softmax(z, axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            nll_sum = nll_sum + jnp.where(valid, nll, 0.0).sum().astype(
+                jnp.float32)
+            if with_acc:
+                pred = jnp.argmax(z, axis=-1)
+                correct = correct + jnp.where(
+                    valid, pred == safe, False).sum().astype(jnp.float32)
+                valid_count = valid_count + valid.sum().astype(jnp.float32)
+    loss = nll_sum / labels.size
+    if with_acc:
+        return loss, correct / jnp.maximum(valid_count, 1.0)
+    return loss
+
+
 def sigmoid_focal_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,  # same shape, {0,1}

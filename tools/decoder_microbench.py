@@ -48,25 +48,18 @@ def _timed_loop(fn, *args, iters=10):
     return max((t_big - t_small) / iters, 1e-9)
 
 
-def build(n_layers=6, use_time=True, film="v1", window=8, shifted=True):
+def build(n_layers=6, use_time=True, film="v1", window=8, heads=8):
     from ddp_tpu.nn.transformer import TimeFiLMEncoder
 
-    class Enc(TimeFiLMEncoder):
-        pass
-
-    enc = TimeFiLMEncoder(num_layers=n_layers, embed_dims=256, num_heads=8,
-                          ffn_dim=1024, use_time=use_time, attn_type="window",
-                          window=window, film=film)
-    if not shifted:
-        # monkey-free: shift comes from layer index parity inside the stack;
-        # emulate no-shift by using a 1-layer loop externally when needed
-        pass
-    return enc
+    return TimeFiLMEncoder(num_layers=n_layers, embed_dims=256,
+                           num_heads=heads, ffn_dim=1024, use_time=use_time,
+                           attn_type="window", window=window, film=film)
 
 
 def bench_case(batch, hw=128, n_layers=6, use_time=True, mode="train",
-               dtype=jnp.bfloat16, iters=8):
-    enc = build(n_layers=n_layers, use_time=use_time)
+               dtype=jnp.bfloat16, iters=8, window=8, heads=8):
+    enc = build(n_layers=n_layers, use_time=use_time, window=window,
+                heads=heads)
     s = hw * hw
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randn(batch, s, 256), dtype)
@@ -115,6 +108,13 @@ def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
     out = {"chip": jax.devices()[0].device_kind, "hw": 128, "embed": 256,
            "ffn": 1024, "layers": 6, "rows": {}}
+    prev_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "work_dirs", "decoder_microbench.json")
+    if os.path.exists(prev_path):
+        try:
+            out["rows"] = json.load(open(prev_path)).get("rows", {})
+        except Exception:
+            pass
 
     cases = [
         # (name, kwargs)
@@ -128,6 +128,16 @@ def main():
     ]
     if quick:
         cases = cases[:4]
+    if len(sys.argv) > 1 and sys.argv[1] == "shape":
+        # r5: the b4 row showed bf16==f32 -> not matmul-bound; probe bigger
+        # MXU tiles (window 16 = 256-token windows; 4 heads = 64-dim heads)
+        cases = [
+            ("train_b4_w16", dict(batch=4, mode="train", window=16)),
+            ("train_b4_h4", dict(batch=4, mode="train", heads=4)),
+            ("train_b4_w16h4", dict(batch=4, mode="train", window=16,
+                                    heads=4)),
+            ("fwd_b4_w16h4", dict(batch=4, mode="fwd", window=16, heads=4)),
+        ]
     for name, kw in cases:
         try:
             ms = bench_case(**kw)
