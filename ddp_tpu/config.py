@@ -334,6 +334,26 @@ PRESETS["converge_seg_window"] = lambda: Config(
                           workdir="work_dirs/converge_seg_window"),
 )
 
+# window-16 / 4-head decoder shape (r5): the measured-fast window-attention
+# geometry (decoder_microbench: -29% decoder train vs window-8/8-head) at
+# the same rig — trained to show the shape change is quality-neutral before
+# it is published as a bench configuration
+PRESETS["converge_seg_w16h4"] = lambda: Config(
+    name="converge_seg_w16h4",
+    model=ModelConfig(task="seg", backbone_type="swin", backbone_variant="nano",
+                      num_classes=7, embed_dims=64, decoder_layers=6,
+                      decoder_heads=4, decoder_ffn_dim=256, drop_path_rate=0.0,
+                      bit_scale=0.01, decoder_attn="window", decoder_window=16,
+                      diffusion=DiffusionConfig(timesteps=3, accumulation=True)),
+    data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=16),
+    optim=OptimConfig(lr=3e-4, grad_clip=1.0, total_steps=1500,
+                      warmup_steps=100, schedule="poly"),
+    runtime=RuntimeConfig(total_iters=1500, log_interval=100, ckpt_interval=500,
+                          eval_interval=10_000, max_keep_ckpts=1,
+                          steps_per_dispatch=10,
+                          workdir="work_dirs/converge_seg_w16h4"),
+)
+
 # quarter-res CE variant (model.loss_at='quarter'): everything identical to
 # converge_seg except where the loss is computed — published next to it as
 # the measured quality cost behind the bench's quarter_loss row (r4:
@@ -352,6 +372,47 @@ PRESETS["converge_seg_quarter"] = lambda: Config(
     runtime=RuntimeConfig(total_iters=1500, log_interval=100, ckpt_interval=500,
                           eval_interval=10_000, max_keep_ckpts=1, steps_per_dispatch=10,
                           workdir="work_dirs/converge_seg_quarter"),
+)
+
+# msda-decoder twin of converge_seg: the torch-parity deformable-attention
+# path, trained END-TO-END through the hybrid custom-VJP (window forward /
+# 4-corner backward, ops/pallas/msda_train_notes.md) — the base checkpoint
+# for the on-chip self-aligned msda fine-tune (reference recipe
+# self_aligned_ddp.py:49-186 applies to an msda model)
+PRESETS["converge_seg_msda"] = lambda: Config(
+    name="converge_seg_msda",
+    model=ModelConfig(task="seg", backbone_type="swin", backbone_variant="nano",
+                      num_classes=7, embed_dims=64, decoder_layers=6,
+                      decoder_heads=8, decoder_ffn_dim=256, drop_path_rate=0.0,
+                      bit_scale=0.01, decoder_attn="msda",
+                      diffusion=DiffusionConfig(timesteps=3, accumulation=True)),
+    data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=16),
+    optim=OptimConfig(lr=3e-4, grad_clip=1.0, total_steps=1500,
+                      warmup_steps=100, schedule="poly"),
+    runtime=RuntimeConfig(total_iters=1500, log_interval=100, ckpt_interval=500,
+                          eval_interval=10_000, max_keep_ckpts=1,
+                          steps_per_dispatch=10,
+                          workdir="work_dirs/converge_seg_msda"),
+)
+
+# self-aligned fine-tune on the MSDA decoder (VERDICT r4 missing #2: the
+# capability the hybrid VJP was built for — reference fine-tunes an msda
+# checkpoint with type='SelfAlignedDDP', timesteps=10, 10x lower lr,
+# configs/cityscapes/ddp_convnext_t_4x4_512x1024_5k_cityscapes_aligned.py)
+PRESETS["converge_seg_aligned_msda"] = lambda: Config(
+    name="converge_seg_aligned_msda",
+    model=ModelConfig(task="seg", backbone_type="swin", backbone_variant="nano",
+                      num_classes=7, embed_dims=64, decoder_layers=6,
+                      decoder_heads=8, decoder_ffn_dim=256, drop_path_rate=0.0,
+                      bit_scale=0.01, decoder_attn="msda", self_aligned=True,
+                      diffusion=DiffusionConfig(timesteps=10, accumulation=True)),
+    data=DataConfig(dataset="synthetic", crop_size=(64, 64), batch_size=16),
+    optim=OptimConfig(lr=3e-5, grad_clip=1.0, total_steps=300, warmup_steps=0,
+                      schedule="poly"),
+    runtime=RuntimeConfig(total_iters=300, log_interval=50, ckpt_interval=300,
+                          eval_interval=10_000, max_keep_ckpts=1,
+                          steps_per_dispatch=10,
+                          workdir="work_dirs/converge_seg_aligned_msda"),
 )
 
 # self-aligned fine-tune from the converge_seg checkpoint (reference recipe:

@@ -27,20 +27,35 @@ from ddp_tpu.config import get_config
 
 
 def main():
-    cfg = get_config("converge_bev")
+    fusion = "--fusion" in sys.argv
+    cfg = get_config("converge_bev_fusion" if fusion else "converge_bev")
     variables, step = _restore_variables(cfg)
     print(f"restored step {step}", flush=True)
     out = {"ckpt_step": step}
-    for topk in (0, 4):
+    if fusion:
+        # fusion path (VERDICT r4 item 10): randsteps is the serving dial —
+        # pair these rows with BENCH_EXTRA's bev_fusion_rate frames/s
+        from run_convergence import eval_bev_fusion
+
         for r in (1, 3, 5):
             mc = dc.replace(
-                cfg.model, bev_depth_topk=topk,
+                cfg.model,
                 diffusion=dc.replace(cfg.model.diffusion, randsteps=r))
-            res = eval_bev(variables, mc, timesteps_list=(3,))
-            key = f"topk{topk}_r{r}"
-            out[key] = {"map_mIoU@3step": res["map_mIoU@3step"],
-                        "std": res["map_mIoU@3step_std"]}
-            print(f"{key}: {res['map_mIoU@3step']}", flush=True)
+            res = eval_bev_fusion(variables, mc, timesteps_list=(3,))
+            out[f"r{r}"] = {"map_mIoU@3step": res["map_mIoU@3step"],
+                            "std": res["map_mIoU@3step_std"]}
+            print(f"r{r}: {res['map_mIoU@3step']}", flush=True)
+    else:
+        for topk in (0, 4):
+            for r in (1, 3, 5):
+                mc = dc.replace(
+                    cfg.model, bev_depth_topk=topk,
+                    diffusion=dc.replace(cfg.model.diffusion, randsteps=r))
+                res = eval_bev(variables, mc, timesteps_list=(3,))
+                key = f"topk{topk}_r{r}"
+                out[key] = {"map_mIoU@3step": res["map_mIoU@3step"],
+                            "std": res["map_mIoU@3step_std"]}
+                print(f"{key}: {res['map_mIoU@3step']}", flush=True)
     path = os.path.join(cfg.runtime.workdir, "quality_curve.json")
     json.dump(out, open(path, "w"), indent=1)
     print(f"wrote {path}")

@@ -589,6 +589,9 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
     preset = {"seg": "converge_seg", "seg_aligned": "converge_seg_aligned",
               "seg_window": "converge_seg_window",
               "seg_quarter": "converge_seg_quarter",
+              "seg_msda": "converge_seg_msda",
+              "seg_w16h4": "converge_seg_w16h4",
+              "seg_aligned_msda": "converge_seg_aligned_msda",
               "depth": "converge_depth", "bev": "converge_bev",
               "bev_fusion": "converge_bev_fusion",
               "controlnet": "converge_controlnet"}[name]
@@ -637,12 +640,14 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
         print(f"restored step {step}", flush=True)
     else:
         init_params = None
-        if name == "seg_aligned":
-            # fine-tune from the converged standard-DDP checkpoint
+        if name in ("seg_aligned", "seg_aligned_msda"):
+            # fine-tune from the converged standard-DDP checkpoint of the
+            # SAME decoder type (reference recipe: load_from the 160k ckpt)
             from ddp_tpu.config import get_config as gc
 
-            init_params, step = _restore_variables(gc("converge_seg"))
-            print(f"fine-tuning from converge_seg step {step}", flush=True)
+            base = "converge_seg_msda" if name.endswith("_msda") else "converge_seg"
+            init_params, step = _restore_variables(gc(base))
+            print(f"fine-tuning from {base} step {step}", flush=True)
         elif name == "controlnet" and not resume:
             # stage 1: pretrain + freeze the VAE (reference: pretrained SD
             # first stage), then train UNet+ControlNet on its latent space.
@@ -687,7 +692,8 @@ def run_experiment(name, eval_only=False, iters=None, train_only=False,
         print(f"train-only done for {name}", flush=True)
         return {"preset": preset, "train_only": True}
 
-    if name in ("seg", "seg_aligned", "seg_window", "seg_quarter"):
+    if name in ("seg", "seg_aligned", "seg_window", "seg_quarter",
+                "seg_msda", "seg_aligned_msda", "seg_w16h4"):
         result = eval_seg(variables, cfg.model)
     elif name == "depth":
         result = eval_depth(variables, cfg.model)
