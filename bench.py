@@ -217,7 +217,7 @@ def bench_train(size=512, batch=8, attn="msda", remat=None, loss_at="full",
     # relay backend's lowering returns no cost analysis, so fall back to a
     # CPU-pinned subprocess.
     flops_per_step = _cost_flops(raw_step, state, batch_dev)
-    if flops_per_step is None:
+    if flops_per_step is None and not os.environ.get("DDP_BENCH_SKIP_FLOPS"):
         flops_per_step = _train_flops_subprocess(size, batch, attn, remat,
                                                  loss_at)
 

@@ -109,33 +109,45 @@ def cross_entropy_seg_upsampled(
     """
     b, h, w, k = logits.shape
     taps = _phase_taps(scale, align_corners)
-    nll_sum = jnp.zeros((), jnp.float32)
-    correct = jnp.zeros((), jnp.float32)
-    valid_count = jnp.zeros((), jnp.float32)
-    # f32 like resize_bilinear's accumulation dtype (latent-res is cheap)
-    logits = logits.astype(jnp.float32)
-    # hoist the row/col shifted copies: phases share {-1, 0, +1} neighbors
-    rows = {d: _shift_edge(logits, d, 1) for d in (-1, 0, 1)}
-    for p, (dy, wy_lo, wy_hi) in enumerate(taps):
-        # vertical lerp for this row phase: [B, h, w, K]
-        zy = (rows[dy] * wy_lo + rows[0] * wy_hi if dy < 0
-              else rows[0] * wy_lo + rows[dy] * wy_hi)
-        for q, (dx, wx_lo, wx_hi) in enumerate(taps):
-            zx_n = _shift_edge(zy, dx, 2)
-            z = (zx_n * wx_lo + zy * wx_hi if dx < 0
-                 else zy * wx_lo + zx_n * wx_hi)
-            lab = labels[:, p::scale, q::scale]
-            valid = lab != ignore_index
-            safe = jnp.where(valid, lab, 0)
-            logp = jax.nn.log_softmax(z, axis=-1)
-            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-            nll_sum = nll_sum + jnp.where(valid, nll, 0.0).sum().astype(
-                jnp.float32)
-            if with_acc:
-                pred = jnp.argmax(z, axis=-1)
-                correct = correct + jnp.where(
-                    valid, pred == safe, False).sum().astype(jnp.float32)
-                valid_count = valid_count + valid.sum().astype(jnp.float32)
+
+    # jax.checkpoint: without it AD saves every phase's interpolated logits
+    # for the log-softmax backward — the same ~B*(s*h)*(s*w)*K f32 bytes the
+    # phase decomposition removed from the forward (measured: fused CE
+    # without remat bought only +1.5% step time). Recomputing the lerps in
+    # the backward is near-free; only the latent-res logits are saved.
+    @jax.checkpoint
+    def phases(logits):
+        nll_sum = jnp.zeros((), jnp.float32)
+        correct = jnp.zeros((), jnp.float32)
+        valid_count = jnp.zeros((), jnp.float32)
+        # f32 like resize_bilinear's accumulation dtype (latent-res is cheap)
+        lg = logits.astype(jnp.float32)
+        # hoist the row shifted copies: phases share {-1, 0, +1} neighbors
+        rows = {d: _shift_edge(lg, d, 1) for d in (-1, 0, 1)}
+        for p, (dy, wy_lo, wy_hi) in enumerate(taps):
+            # vertical lerp for this row phase: [B, h, w, K]
+            zy = (rows[dy] * wy_lo + rows[0] * wy_hi if dy < 0
+                  else rows[0] * wy_lo + rows[dy] * wy_hi)
+            for q, (dx, wx_lo, wx_hi) in enumerate(taps):
+                zx_n = _shift_edge(zy, dx, 2)
+                z = (zx_n * wx_lo + zy * wx_hi if dx < 0
+                     else zy * wx_lo + zx_n * wx_hi)
+                lab = labels[:, p::scale, q::scale]
+                valid = lab != ignore_index
+                safe = jnp.where(valid, lab, 0)
+                logp = jax.nn.log_softmax(z, axis=-1)
+                nll = -jnp.take_along_axis(
+                    logp, safe[..., None], axis=-1)[..., 0]
+                nll_sum = nll_sum + jnp.where(valid, nll, 0.0).sum().astype(
+                    jnp.float32)
+                if with_acc:
+                    pred = jnp.argmax(z, axis=-1)
+                    correct = correct + jnp.where(
+                        valid, pred == safe, False).sum().astype(jnp.float32)
+                    valid_count = valid_count + valid.sum().astype(jnp.float32)
+        return nll_sum, correct, valid_count
+
+    nll_sum, correct, valid_count = phases(logits)
     loss = nll_sum / labels.size
     if with_acc:
         return loss, correct / jnp.maximum(valid_count, 1.0)
