@@ -120,8 +120,11 @@ def cross_entropy_seg_upsampled(
         nll_sum = jnp.zeros((), jnp.float32)
         correct = jnp.zeros((), jnp.float32)
         valid_count = jnp.zeros((), jnp.float32)
-        # f32 like resize_bilinear's accumulation dtype (latent-res is cheap)
-        lg = logits.astype(jnp.float32)
+        # compute in the INPUT dtype: under the bf16 train policy the
+        # decoder logits arrive bf16 and the CE region is pure HBM
+        # bandwidth (measured 47 ms/step at b4/512² in f32 phases) — bf16
+        # halves it; all reductions still accumulate in f32
+        lg = logits
         # hoist the row shifted copies: phases share {-1, 0, +1} neighbors
         rows = {d: _shift_edge(lg, d, 1) for d in (-1, 0, 1)}
         for p, (dy, wy_lo, wy_hi) in enumerate(taps):
@@ -136,10 +139,16 @@ def cross_entropy_seg_upsampled(
                 valid = lab != ignore_index
                 safe = jnp.where(valid, lab, 0)
                 logp = jax.nn.log_softmax(z, axis=-1)
-                nll = -jnp.take_along_axis(
-                    logp, safe[..., None], axis=-1)[..., 0]
-                nll_sum = nll_sum + jnp.where(valid, nll, 0.0).sum().astype(
-                    jnp.float32)
+                # gather-free label pick: take_along_axis lowers to a 65k-row
+                # gather per phase (the same op class that made the resize
+                # path slow); a one-hot contraction stays on the VPU/MXU
+                onehot = (safe[..., None] ==
+                          jnp.arange(k, dtype=safe.dtype)).astype(logp.dtype)
+                nll = -(logp * onehot).sum(axis=-1)
+                # cast BEFORE the spatial sum: a bf16 accumulator over 16k
+                # values loses ~2 digits
+                nll_sum = nll_sum + jnp.where(valid, nll, 0.0).astype(
+                    jnp.float32).sum()
                 if with_acc:
                     pred = jnp.argmax(z, axis=-1)
                     correct = correct + jnp.where(

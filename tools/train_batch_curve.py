@@ -33,6 +33,9 @@ CASES = {
     "b4_w16h4": dict(batch=4, window=16, heads=4),
     "b4mb2_w16h4": dict(batch=4, microbatch=2, window=16, heads=4),
     "b8mb2_w16h4": dict(batch=8, microbatch=2, window=16, heads=4),
+    # CE-cost bracket: quarter mode = everything except the full-res loss
+    "b4_quarter": dict(batch=4, loss_at="quarter"),
+    "b4_quarter_w16h4": dict(batch=4, loss_at="quarter", window=16, heads=4),
 }
 
 
