@@ -25,12 +25,12 @@ from ..core import diffusion as diff
 from ..core.diffusion import DiffusionConfig
 from ..core.schedules import log_snr_to_alpha_sigma
 from ..ops.pallas.q_sample import fused_encode_map, fused_q_sample
+from ..ops.pallas.upsample_ce import fused_upsample_ce
 from ..nn.common import ConvModule
 from ..nn.convnext import ConvNeXt, convnext_variant
 from ..nn.fpn import FPN, MultiStageMerging
 from ..nn.heads import DeformableHeadWithTime, FCNHead
-from ..nn.losses import (cross_entropy_seg,
-                         cross_entropy_seg_upsampled, seg_accuracy)
+from ..nn.losses import cross_entropy_seg, seg_accuracy
 from ..nn.swin import SwinTransformer, swin_variant
 from ..nn.time_embed import TimeMLP
 from ..ops.resize import resize
@@ -194,15 +194,15 @@ class DDPSegmentor(nn.Module):
             full = gt.shape[1:3]
             s = full[0] // h
             if (not self.align_corners and s > 1 and full == (h * s, w * s)):
-                # fused phase-decomposed upsample+CE: same math as
-                # resize+CE (parity-tested) without materializing the
-                # full-res f32 logits — the step's single biggest HBM cost
-                # (train_profile_notes.md: ~20% of the 512² train step)
-                loss_ce, acc = cross_entropy_seg_upsampled(
-                    logits, gt, s, with_acc=True)
+                # fused upsample+CE: same math as resize+CE (parity-tested
+                # incl. grads) without materializing the full-res logits —
+                # the step's single biggest cost (~47 ms/step measured at
+                # b4/512², train_batch_curve.json). On TPU this is ONE
+                # VMEM-resident Pallas pass (ops/pallas/upsample_ce.py);
+                # elsewhere the XLA phase decomposition.
+                loss_ce, acc = fused_upsample_ce(logits, gt, s, with_acc=True)
                 loss_aux = (
-                    self.aux_weight * cross_entropy_seg_upsampled(
-                        aux_logits, gt, s)
+                    self.aux_weight * fused_upsample_ce(aux_logits, gt, s)
                     if aux_logits is not None
                     else jnp.zeros((), loss_ce.dtype))
             else:
