@@ -157,9 +157,11 @@ def _fwd_kernel(lm_ref, l0_ref, lp_ref, lab_ref, nll_ref, cnt_ref, cor_ref,
             nll_acc += jnp.sum(nll * vf)
             cnt_acc += jnp.sum(vf)
             cor_acc += jnp.sum(vf * (z_lab >= m).astype(jnp.float32))
-    nll_ref[0, 0] += nll_acc
-    cnt_ref[0, 0] += cnt_acc
-    cor_ref[0, 0] += cor_acc
+    # whole-(1,1)-block stores: element-indexed scalar stores to VMEM are
+    # rejected by the TPU lowering ("Cannot store scalars to VMEM")
+    nll_ref[:, :] = nll_ref[:, :] + nll_acc
+    cnt_ref[:, :] = cnt_ref[:, :] + cnt_acc
+    cor_ref[:, :] = cor_ref[:, :] + cor_acc
 
 
 def _bwd_kernel(lm_ref, l0_ref, lp_ref, lab_ref, dlm_ref, dl0_ref, dlp_ref,
