@@ -113,15 +113,16 @@ def _col_shift_T(g: jnp.ndarray, minus: bool) -> jnp.ndarray:
                             g[:, : g.shape[1] - 2], tail], axis=1)
 
 
-def _phase_labels(lab_ref, tb, w, scale, p, q):
-    """labels block [scale·TB, scale·w] → phase slice [TB, w] int32."""
-    lab = lab_ref[:]
-    return lab.reshape(tb, scale, w, scale)[:, p, :, q]
+def _fwd_kernel(lm_ref, l0_ref, lp_ref, *rest, scale, k, ignore_index):
+    """rest = scale² phase-label refs [TB, w] + (nll, cnt, cor) outputs.
 
-
-def _fwd_kernel(lm_ref, l0_ref, lp_ref, lab_ref, nll_ref, cnt_ref, cor_ref,
-                *, scale, k, ignore_index):
+    The phase slices labels[:, p::s, q::s] are taken on the XLA side and
+    passed as separate 2-D int32 inputs: Mosaic rejects the in-kernel 4-D
+    reshape/slice of the raw label block ("unsupported shape cast")."""
     import jax.experimental.pallas as pl
+
+    lab_refs = rest[: scale * scale]
+    nll_ref, cnt_ref, cor_ref = rest[scale * scale:]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -145,7 +146,7 @@ def _fwd_kernel(lm_ref, l0_ref, lp_ref, lab_ref, nll_ref, cnt_ref, cor_ref,
             zn = _col_shift(zy, col_minus)
             z = (zn * wx_lo + zy * wx_hi) if col_minus else (
                 zy * wx_lo + zn * wx_hi)
-            lab = _phase_labels(lab_ref, tb, w, scale, p, q)
+            lab = lab_refs[p * scale + q][:]
             valid = lab != ignore_index
             safe = jnp.where(valid, lab, 0)
             onehot = (iota_k == safe[:, :, None]).astype(jnp.float32)
@@ -164,8 +165,9 @@ def _fwd_kernel(lm_ref, l0_ref, lp_ref, lab_ref, nll_ref, cnt_ref, cor_ref,
     cor_ref[:, :] = cor_ref[:, :] + cor_acc
 
 
-def _bwd_kernel(lm_ref, l0_ref, lp_ref, lab_ref, dlm_ref, dl0_ref, dlp_ref,
-                *, scale, k, ignore_index):
+def _bwd_kernel(lm_ref, l0_ref, lp_ref, *rest, scale, k, ignore_index):
+    lab_refs = rest[: scale * scale]
+    dlm_ref, dl0_ref, dlp_ref = rest[scale * scale:]
     taps = _taps(scale)
     tb, w, _ = l0_ref.shape
     lm = lm_ref[:].astype(jnp.float32)
@@ -183,7 +185,7 @@ def _bwd_kernel(lm_ref, l0_ref, lp_ref, lab_ref, dlm_ref, dl0_ref, dlp_ref,
             zn = _col_shift(zy, col_minus)
             z = (zn * wx_lo + zy * wx_hi) if col_minus else (
                 zy * wx_lo + zn * wx_hi)
-            lab = _phase_labels(lab_ref, tb, w, scale, p, q)
+            lab = lab_refs[p * scale + q][:]
             valid = lab != ignore_index
             safe = jnp.where(valid, lab, 0)
             onehot = (iota_k == safe[:, :, None]).astype(jnp.float32)
@@ -227,8 +229,9 @@ def _prep(logits, labels, scale, ignore_index):
     if hp != h:
         mask_rows = jnp.arange(hp * scale) < h * scale
         lab = jnp.where(mask_rows[None, :, None], lab, ignore_index)
-    lab = lab.reshape(b * hp * scale, w * scale)
-    return lm, l0, lp, lab, b, hp
+    labs = [lab[:, p::scale, q::scale].reshape(b * hp, w)
+            for p in range(scale) for q in range(scale)]
+    return lm, l0, lp, labs, b, hp
 
 
 def _specs(w, k, scale):
@@ -237,7 +240,7 @@ def _specs(w, k, scale):
 
     lspec = pl.BlockSpec((TB, w, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    labspec = pl.BlockSpec((TB * scale, w * scale), lambda i: (i, 0),
+    labspec = pl.BlockSpec((TB, w), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     sumspec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
@@ -248,7 +251,7 @@ def _kernel_call(logits, labels, scale, ignore_index):
     import jax.experimental.pallas as pl
 
     b, h, w, k = logits.shape
-    lm, l0, lp, lab, _, hp = _prep(logits, labels, scale, ignore_index)
+    lm, l0, lp, labs, _, hp = _prep(logits, labels, scale, ignore_index)
     lspec, labspec, sumspec = _specs(w, k, scale)
     kernel = functools.partial(_fwd_kernel, scale=scale, k=k,
                                ignore_index=ignore_index)
@@ -256,10 +259,10 @@ def _kernel_call(logits, labels, scale, ignore_index):
         kernel,
         out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 3,
         grid=(b * hp // TB,),
-        in_specs=[lspec, lspec, lspec, labspec],
+        in_specs=[lspec, lspec, lspec] + [labspec] * (scale * scale),
         out_specs=[sumspec, sumspec, sumspec],
         interpret=_interpret(),
-    )(lm, l0, lp, lab)
+    )(lm, l0, lp, *labs)
     return nll[0, 0], cnt[0, 0], cor[0, 0]
 
 
@@ -267,7 +270,7 @@ def _kernel_grad(logits, labels, scale, ignore_index):
     import jax.experimental.pallas as pl
 
     b, h, w, k = logits.shape
-    lm, l0, lp, lab, _, hp = _prep(logits, labels, scale, ignore_index)
+    lm, l0, lp, labs, _, hp = _prep(logits, labels, scale, ignore_index)
     lspec, labspec, _ = _specs(w, k, scale)
     kernel = functools.partial(_bwd_kernel, scale=scale, k=k,
                                ignore_index=ignore_index)
@@ -275,10 +278,10 @@ def _kernel_grad(logits, labels, scale, ignore_index):
         kernel,
         out_shape=[jax.ShapeDtypeStruct((b * hp, w, k), jnp.float32)] * 3,
         grid=(b * hp // TB,),
-        in_specs=[lspec, lspec, lspec, labspec],
+        in_specs=[lspec, lspec, lspec] + [labspec] * (scale * scale),
         out_specs=[lspec, lspec, lspec],
         interpret=_interpret(),
-    )(lm, l0, lp, lab)
+    )(lm, l0, lp, *labs)
     dlm = dlm.reshape(b, hp, w, k)[:, :h]
     dl0 = dl0.reshape(b, hp, w, k)[:, :h]
     dlp = dlp.reshape(b, hp, w, k)[:, :h]
