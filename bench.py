@@ -70,19 +70,24 @@ def _timed_loop(fn, *args, iters=10):
         float(fn(*args, n))
         return time.perf_counter() - t0
 
-    for attempt in range(3):
-        try:
-            timed(1)  # compile + warmup
-            break
-        except Exception as e:  # pragma: no cover - relay flake
-            if attempt == 2:
-                raise
-            print(f"# compile attempt {attempt + 1} failed "
-                  f"({type(e).__name__}); retrying", file=sys.stderr,
-                  flush=True)
-            time.sleep(5)
-    t_small = timed(2)
-    t_big = timed(2 + iters)
+    def timed_retry(n):
+        # EVERY distinct n compiles its own program, and the relay's
+        # remote_compile endpoint intermittently drops large responses —
+        # so each of the three calls needs the retry, not just the first
+        for attempt in range(3):
+            try:
+                return timed(n)
+            except Exception as e:  # pragma: no cover - relay flake
+                if attempt == 2:
+                    raise
+                print(f"# compile attempt {attempt + 1} (n={n}) failed "
+                      f"({type(e).__name__}); retrying", file=sys.stderr,
+                      flush=True)
+                time.sleep(5)
+
+    timed_retry(1)  # compile + warmup
+    t_small = timed_retry(2)
+    t_big = timed_retry(2 + iters)
     return max((t_big - t_small) / iters, 1e-9)
 
 

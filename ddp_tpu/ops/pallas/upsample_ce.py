@@ -38,7 +38,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-TB = 8  # latent rows per grid block
+# latent rows per grid block: the unrolled 16-phase backward keeps several
+# [TB, w, K] f32 temporaries live per phase — TB=8 hit the 16 MB scoped-vmem
+# stack limit at w=128/K=150 (47.97M requested); TB=2 fits with headroom
+TB = 2
 
 
 def _use_pallas() -> bool:
