@@ -38,10 +38,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-# latent rows per grid block: the unrolled 16-phase backward keeps several
-# [TB, w, K] f32 temporaries live per phase — TB=8 hit the 16 MB scoped-vmem
-# stack limit at w=128/K=150 (47.97M requested); TB=2 fits with headroom
-TB = 2
+# latent rows per grid block. The kernels are SPLIT BY ROW PHASE (scale
+# calls of scale col-phases each): one monolithic 16-phase unroll keeps
+# several [TB, w, K] f32 temporaries live per phase and blew the 16 MB
+# scoped-vmem stack at TB=8 (47.97M requested); int32 label tiles need
+# TB % 8 == 0, so shrinking TB was not an option — splitting the unroll
+# by row phase quarters the live set instead.
+TB = 8
 
 
 def _use_pallas() -> bool:
@@ -116,16 +119,18 @@ def _col_shift_T(g: jnp.ndarray, minus: bool) -> jnp.ndarray:
                             g[:, : g.shape[1] - 2], tail], axis=1)
 
 
-def _fwd_kernel(lm_ref, l0_ref, lp_ref, *rest, scale, k, ignore_index):
-    """rest = scale² phase-label refs [TB, w] + (nll, cnt, cor) outputs.
+def _fwd_kernel(lo_ref, hi_ref, *rest, p, scale, k, ignore_index):
+    """ONE row phase p: rest = scale col-phase label refs [TB, w] +
+    (nll, cnt, cor) outputs. zy = wy_lo·lo + wy_hi·hi where (lo, hi) are
+    the two row-shifted copies this phase taps.
 
     The phase slices labels[:, p::s, q::s] are taken on the XLA side and
     passed as separate 2-D int32 inputs: Mosaic rejects the in-kernel 4-D
     reshape/slice of the raw label block ("unsupported shape cast")."""
     import jax.experimental.pallas as pl
 
-    lab_refs = rest[: scale * scale]
-    nll_ref, cnt_ref, cor_ref = rest[scale * scale:]
+    lab_refs = rest[: scale]
+    nll_ref, cnt_ref, cor_ref = rest[scale:]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -134,33 +139,30 @@ def _fwd_kernel(lm_ref, l0_ref, lp_ref, *rest, scale, k, ignore_index):
         cor_ref[:] = jnp.zeros_like(cor_ref)
 
     taps = _taps(scale)
-    tb, w, _ = l0_ref.shape
-    lm = lm_ref[:].astype(jnp.float32)
-    l0 = l0_ref[:].astype(jnp.float32)
-    lp = lp_ref[:].astype(jnp.float32)
+    _, wy_lo, wy_hi = taps[p]
+    tb, w, _ = lo_ref.shape
+    zy = (lo_ref[:].astype(jnp.float32) * wy_lo
+          + hi_ref[:].astype(jnp.float32) * wy_hi)
     nll_acc = jnp.float32(0)
     cnt_acc = jnp.float32(0)
     cor_acc = jnp.float32(0)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (tb, w, k), 2)
-    for p, (row_minus, wy_lo, wy_hi) in enumerate(taps):
-        zy = (lm * wy_lo + l0 * wy_hi) if row_minus else (
-            l0 * wy_lo + lp * wy_hi)
-        for q, (col_minus, wx_lo, wx_hi) in enumerate(taps):
-            zn = _col_shift(zy, col_minus)
-            z = (zn * wx_lo + zy * wx_hi) if col_minus else (
-                zy * wx_lo + zn * wx_hi)
-            lab = lab_refs[p * scale + q][:]
-            valid = lab != ignore_index
-            safe = jnp.where(valid, lab, 0)
-            onehot = (iota_k == safe[:, :, None]).astype(jnp.float32)
-            m = jnp.max(z, axis=-1)
-            lse = m + jnp.log(jnp.sum(jnp.exp(z - m[:, :, None]), axis=-1))
-            z_lab = jnp.sum(z * onehot, axis=-1)
-            nll = lse - z_lab
-            vf = valid.astype(jnp.float32)
-            nll_acc += jnp.sum(nll * vf)
-            cnt_acc += jnp.sum(vf)
-            cor_acc += jnp.sum(vf * (z_lab >= m).astype(jnp.float32))
+    for q, (col_minus, wx_lo, wx_hi) in enumerate(taps):
+        zn = _col_shift(zy, col_minus)
+        z = (zn * wx_lo + zy * wx_hi) if col_minus else (
+            zy * wx_lo + zn * wx_hi)
+        lab = lab_refs[q][:]
+        valid = lab != ignore_index
+        safe = jnp.where(valid, lab, 0)
+        onehot = (iota_k == safe[:, :, None]).astype(jnp.float32)
+        m = jnp.max(z, axis=-1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(z - m[:, :, None]), axis=-1))
+        z_lab = jnp.sum(z * onehot, axis=-1)
+        nll = lse - z_lab
+        vf = valid.astype(jnp.float32)
+        nll_acc += jnp.sum(nll * vf)
+        cnt_acc += jnp.sum(vf)
+        cor_acc += jnp.sum(vf * (z_lab >= m).astype(jnp.float32))
     # whole-(1,1)-block stores: element-indexed scalar stores to VMEM are
     # rejected by the TPU lowering ("Cannot store scalars to VMEM")
     nll_ref[:, :] = nll_ref[:, :] + nll_acc
@@ -168,47 +170,35 @@ def _fwd_kernel(lm_ref, l0_ref, lp_ref, *rest, scale, k, ignore_index):
     cor_ref[:, :] = cor_ref[:, :] + cor_acc
 
 
-def _bwd_kernel(lm_ref, l0_ref, lp_ref, *rest, scale, k, ignore_index):
-    lab_refs = rest[: scale * scale]
-    dlm_ref, dl0_ref, dlp_ref = rest[scale * scale:]
+def _bwd_kernel(lo_ref, hi_ref, *rest, p, scale, k, ignore_index):
+    """ONE row phase p: emits (dlo, dhi) for the two copies it taps."""
+    lab_refs = rest[: scale]
+    dlo_ref, dhi_ref = rest[scale:]
     taps = _taps(scale)
-    tb, w, _ = l0_ref.shape
-    lm = lm_ref[:].astype(jnp.float32)
-    l0 = l0_ref[:].astype(jnp.float32)
-    lp = lp_ref[:].astype(jnp.float32)
-    dlm = jnp.zeros((tb, w, k), jnp.float32)
-    dl0 = jnp.zeros((tb, w, k), jnp.float32)
-    dlp = jnp.zeros((tb, w, k), jnp.float32)
+    _, wy_lo, wy_hi = taps[p]
+    tb, w, _ = lo_ref.shape
+    zy = (lo_ref[:].astype(jnp.float32) * wy_lo
+          + hi_ref[:].astype(jnp.float32) * wy_hi)
+    dzy = jnp.zeros((tb, w, k), jnp.float32)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (tb, w, k), 2)
-    for p, (row_minus, wy_lo, wy_hi) in enumerate(taps):
-        zy = (lm * wy_lo + l0 * wy_hi) if row_minus else (
-            l0 * wy_lo + lp * wy_hi)
-        dzy = jnp.zeros((tb, w, k), jnp.float32)
-        for q, (col_minus, wx_lo, wx_hi) in enumerate(taps):
-            zn = _col_shift(zy, col_minus)
-            z = (zn * wx_lo + zy * wx_hi) if col_minus else (
-                zy * wx_lo + zn * wx_hi)
-            lab = lab_refs[p * scale + q][:]
-            valid = lab != ignore_index
-            safe = jnp.where(valid, lab, 0)
-            onehot = (iota_k == safe[:, :, None]).astype(jnp.float32)
-            m = jnp.max(z, axis=-1, keepdims=True)
-            e = jnp.exp(z - m)
-            soft = e / jnp.sum(e, axis=-1, keepdims=True)
-            dz = (soft - onehot) * valid.astype(jnp.float32)[:, :, None]
-            if col_minus:
-                dzy += dz * wx_hi + _col_shift_T(dz * wx_lo, True)
-            else:
-                dzy += dz * wx_lo + _col_shift_T(dz * wx_hi, False)
-        if row_minus:
-            dlm += dzy * wy_lo
-            dl0 += dzy * wy_hi
+    for q, (col_minus, wx_lo, wx_hi) in enumerate(taps):
+        zn = _col_shift(zy, col_minus)
+        z = (zn * wx_lo + zy * wx_hi) if col_minus else (
+            zy * wx_lo + zn * wx_hi)
+        lab = lab_refs[q][:]
+        valid = lab != ignore_index
+        safe = jnp.where(valid, lab, 0)
+        onehot = (iota_k == safe[:, :, None]).astype(jnp.float32)
+        m = jnp.max(z, axis=-1, keepdims=True)
+        e = jnp.exp(z - m)
+        soft = e / jnp.sum(e, axis=-1, keepdims=True)
+        dz = (soft - onehot) * valid.astype(jnp.float32)[:, :, None]
+        if col_minus:
+            dzy += dz * wx_hi + _col_shift_T(dz * wx_lo, True)
         else:
-            dl0 += dzy * wy_lo
-            dlp += dzy * wy_hi
-    dlm_ref[:] = dlm.astype(dlm_ref.dtype)
-    dl0_ref[:] = dl0.astype(dl0_ref.dtype)
-    dlp_ref[:] = dlp.astype(dlp_ref.dtype)
+            dzy += dz * wx_lo + _col_shift_T(dz * wx_hi, False)
+    dlo_ref[:] = (dzy * wy_lo).astype(dlo_ref.dtype)
+    dhi_ref[:] = (dzy * wy_hi).astype(dhi_ref.dtype)
 
 
 def _pad_rows(x, hp):
@@ -250,23 +240,34 @@ def _specs(w, k, scale):
     return lspec, labspec, sumspec
 
 
+def _row_phase_operands(lm, l0, lp, scale):
+    """(lo, hi) copies tapped by each row phase p."""
+    taps = _taps(scale)
+    return [((lm, l0) if taps[p][0] else (l0, lp)) for p in range(scale)]
+
+
 def _kernel_call(logits, labels, scale, ignore_index):
     import jax.experimental.pallas as pl
 
     b, h, w, k = logits.shape
     lm, l0, lp, labs, _, hp = _prep(logits, labels, scale, ignore_index)
     lspec, labspec, sumspec = _specs(w, k, scale)
-    kernel = functools.partial(_fwd_kernel, scale=scale, k=k,
-                               ignore_index=ignore_index)
-    nll, cnt, cor = pl.pallas_call(
-        kernel,
-        out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 3,
-        grid=(b * hp // TB,),
-        in_specs=[lspec, lspec, lspec] + [labspec] * (scale * scale),
-        out_specs=[sumspec, sumspec, sumspec],
-        interpret=_interpret(),
-    )(lm, l0, lp, *labs)
-    return nll[0, 0], cnt[0, 0], cor[0, 0]
+    nll = cnt = cor = jnp.float32(0)
+    for p, (lo, hi) in enumerate(_row_phase_operands(lm, l0, lp, scale)):
+        kernel = functools.partial(_fwd_kernel, p=p, scale=scale, k=k,
+                                   ignore_index=ignore_index)
+        n_p, c_p, r_p = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 3,
+            grid=(b * hp // TB,),
+            in_specs=[lspec, lspec] + [labspec] * scale,
+            out_specs=[sumspec, sumspec, sumspec],
+            interpret=_interpret(),
+        )(lo, hi, *labs[p * scale: (p + 1) * scale])
+        nll = nll + n_p[0, 0]
+        cnt = cnt + c_p[0, 0]
+        cor = cor + r_p[0, 0]
+    return nll, cnt, cor
 
 
 def _kernel_grad(logits, labels, scale, ignore_index):
@@ -275,16 +276,25 @@ def _kernel_grad(logits, labels, scale, ignore_index):
     b, h, w, k = logits.shape
     lm, l0, lp, labs, _, hp = _prep(logits, labels, scale, ignore_index)
     lspec, labspec, _ = _specs(w, k, scale)
-    kernel = functools.partial(_bwd_kernel, scale=scale, k=k,
-                               ignore_index=ignore_index)
-    dlm, dl0, dlp = pl.pallas_call(
-        kernel,
-        out_shape=[jax.ShapeDtypeStruct((b * hp, w, k), jnp.float32)] * 3,
-        grid=(b * hp // TB,),
-        in_specs=[lspec, lspec, lspec] + [labspec] * (scale * scale),
-        out_specs=[lspec, lspec, lspec],
-        interpret=_interpret(),
-    )(lm, l0, lp, *labs)
+    taps = _taps(scale)
+    dlm = dl0 = dlp = 0.0
+    for p, (lo, hi) in enumerate(_row_phase_operands(lm, l0, lp, scale)):
+        kernel = functools.partial(_bwd_kernel, p=p, scale=scale, k=k,
+                                   ignore_index=ignore_index)
+        dlo, dhi = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((b * hp, w, k), jnp.float32)] * 2,
+            grid=(b * hp // TB,),
+            in_specs=[lspec, lspec] + [labspec] * scale,
+            out_specs=[lspec, lspec],
+            interpret=_interpret(),
+        )(lo, hi, *labs[p * scale: (p + 1) * scale])
+        if taps[p][0]:
+            dlm = dlm + dlo
+            dl0 = dl0 + dhi
+        else:
+            dl0 = dl0 + dlo
+            dlp = dlp + dhi
     dlm = dlm.reshape(b, hp, w, k)[:, :h]
     dl0 = dl0.reshape(b, hp, w, k)[:, :h]
     dlp = dlp.reshape(b, hp, w, k)[:, :h]
