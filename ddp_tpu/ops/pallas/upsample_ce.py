@@ -227,6 +227,15 @@ def _prep(logits, labels, scale, ignore_index):
     return lm, l0, lp, labs, b, hp
 
 
+def _cparams():
+    from jax.experimental.pallas import tpu as pltpu
+
+    # the per-row-phase backward still stacks ~17.5 MB of unrolled
+    # col-phase temporaries at TB=8/w=128/K=150 — just over Mosaic's 16 MB
+    # default scoped-vmem limit; raise the cap (physical VMEM is larger)
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _specs(w, k, scale):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -262,6 +271,7 @@ def _kernel_call(logits, labels, scale, ignore_index):
             grid=(b * hp // TB,),
             in_specs=[lspec, lspec] + [labspec] * scale,
             out_specs=[sumspec, sumspec, sumspec],
+            compiler_params=_cparams(),
             interpret=_interpret(),
         )(lo, hi, *labs[p * scale: (p + 1) * scale])
         nll = nll + n_p[0, 0]
@@ -287,6 +297,7 @@ def _kernel_grad(logits, labels, scale, ignore_index):
             grid=(b * hp // TB,),
             in_specs=[lspec, lspec] + [labspec] * scale,
             out_specs=[lspec, lspec],
+            compiler_params=_cparams(),
             interpret=_interpret(),
         )(lo, hi, *labs[p * scale: (p + 1) * scale])
         if taps[p][0]:
