@@ -96,10 +96,18 @@ class ControlLDM(nn.Module):
     vae_nrb: int = 2
     only_mid_control: bool = False
 
+    @property
+    def latent_downsample(self) -> int:
+        """Spatial reduction of the first stage (SD's VAE is 8x; the
+        from-scratch presets may use a shallower one — the hint encoder
+        and sampling shapes follow it)."""
+        return 2 ** (len(self.vae_ch_mult) - 1)
+
     def setup(self):
         cfg = self.unet or UNetConfig()
         self.diffusion_model = UNetModel(cfg)
-        self.control_model = ControlNet(cfg, self.hint_channels)
+        self.control_model = ControlNet(cfg, self.hint_channels,
+                                        hint_downsample=self.latent_downsample)
         self.first_stage_model = AutoencoderKL(
             embed_dim=cfg.in_channels, ch=self.vae_ch,
             ch_mult=self.vae_ch_mult, num_res_blocks=self.vae_nrb)
@@ -152,8 +160,9 @@ class ControlLDM(nn.Module):
             # touch the VAE decoder so a loss-only init creates ALL params
             # (sampling reuses the same variables)
             cfg = self.unet or UNetConfig()
-            z0 = jnp.zeros((img.shape[0], img.shape[1] // 8,
-                            img.shape[2] // 8, cfg.in_channels), img.dtype)
+            ds = self.latent_downsample
+            z0 = jnp.zeros((img.shape[0], img.shape[1] // ds,
+                            img.shape[2] // ds, cfg.in_channels), img.dtype)
             self.decode_first_stage(z0)
         return out
 
@@ -166,7 +175,8 @@ class ControlLDM(nn.Module):
         Returns decoded images in [-1, 1]. hint: [B,H,W,3] in [0,1].
         """
         b = hint.shape[0]
-        h, w = hint.shape[1] // 8, hint.shape[2] // 8
+        ds = self.latent_downsample
+        h, w = hint.shape[1] // ds, hint.shape[2] // ds
         cfg = self.unet or UNetConfig()
         ts, a, a_prev, sigmas = self.schedule.ddim_constants(steps, eta)
         context = self.get_learned_conditioning(ids)

@@ -260,14 +260,27 @@ class UNetModel(nn.Module):
 class HintEncoder(nn.Module):
     """input_hint_block: 512x512 hint image -> model_channels at 1/8
     (cldm.py:109-120: convs 16,16,32,32,96,96,256 with strides 2 at 16->32,
-    32->96, 96->256, final zero conv)."""
+    32->96, 96->256, final zero conv).
+
+    ``downsample`` must match the first stage's spatial reduction (SD's
+    VAE is 8x). For a shallower VAE, trailing stride-2 convs flip to
+    stride 1 so the hint lands on the latent grid."""
 
     model_channels: int
+    downsample: int = 8
 
     @nn.compact
     def __call__(self, hint):
         h = hint
-        plan = [(16, 1), (16, 1), (32, 2), (32, 1), (96, 2), (96, 1), (256, 2)]
+        plan = [[16, 1], [16, 1], [32, 2], [32, 1], [96, 2], [96, 1],
+                [256, 2]]
+        n_extra = 3 - int(math.log2(self.downsample))
+        for entry in reversed(plan):
+            if n_extra <= 0:
+                break
+            if entry[1] == 2:
+                entry[1] = 1
+                n_extra -= 1
         for i, (ch, s) in enumerate(plan):
             h = nn.Conv(ch, (3, 3), strides=(s, s), padding=1,
                         name=f"conv_{i}")(h)
@@ -283,6 +296,7 @@ class ControlNet(nn.Module):
 
     cfg: UNetConfig
     hint_channels: int = 3
+    hint_downsample: int = 8
 
     @nn.compact
     def __call__(self, x, hint, timesteps, context):
@@ -291,7 +305,9 @@ class ControlNet(nn.Module):
         emb = nn.Dense(cfg.model_channels * 4, name="time_embed_0")(t_emb)
         emb = nn.Dense(cfg.model_channels * 4,
                        name="time_embed_2")(jax.nn.silu(emb))
-        guided = HintEncoder(cfg.model_channels, name="hint")(hint)
+        guided = HintEncoder(cfg.model_channels,
+                             downsample=self.hint_downsample,
+                             name="hint")(hint)
         h, hs = UNetEncoder(cfg, name="encoder")(x, emb, context, hint=guided)
         h = UNetMiddle(cfg, name="middle")(h, emb, context)
         outs = []
