@@ -281,6 +281,13 @@ def main():
                 bench_infer(wmodel, wvars, 2, size, jnp.bfloat16), 3)
             rows["window_bf16_b8"] = round(
                 bench_infer(wmodel, wvars, 8, size, jnp.bfloat16), 3)
+            # the SHIPPED window shape since r5: 16x16 windows, 4x64-dim
+            # heads (decoder_microbench -29% decoder train; quality equal,
+            # converge_seg_w16h4 0.9273 vs 0.9267)
+            w16model = _model(attn="window", window=16, heads=4)
+            w16vars = _init_variables(w16model, size)
+            rows["window16_bf16_b2"] = round(
+                bench_infer(w16model, w16vars, 2, size, jnp.bfloat16), 3)
         except Exception as e:  # window path must not sink the bench
             rows["window_bf16_b8"] = f"error: {type(e).__name__}"
         # best-batch summaries per decoder (VERDICT r3 item 5)
@@ -297,11 +304,26 @@ def main():
             rows["window_best"] = {"row": k, "img_per_s": win_rows[k]}
         # flagship (window-decoder) train throughput at per-chip batch 4
         # (2x the reference's per-GPU batch of 2, segmentation/README '2x8');
-        # b8 exceeds 16G HBM even remat'd (full-res f32 CE temps, 2G each)
+        # b8 exceeds 16G HBM even remat'd (full-res f32 CE temps, 2G each).
+        # r5: measured at the SHIPPED preset shape (w16/h4) with the fused
+        # Pallas upsample+CE loss — batch/shape curve in
+        # work_dirs/train_batch_curve.json (folded below)
         try:
-            train_row = bench_train(size, batch=4, attn="window")
+            train_row = bench_train(size, batch=4, attn="window",
+                                    window=16, heads=4)
         except Exception as e:
             train_row = {"error": type(e).__name__}
+        curve_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "work_dirs",
+            "train_batch_curve.json")
+        if isinstance(train_row, dict) and os.path.exists(curve_path):
+            try:
+                curve = json.load(open(curve_path))
+                train_row["batch_curve"] = {
+                    k: v["steps_per_s"] for k, v in curve.items()
+                    if isinstance(v, dict) and "steps_per_s" in v}
+            except Exception:
+                pass
         # TPU-native fast mode: CE at the decoder's 1/4 grid (loss_at=
         # 'quarter') — +32% steps/s (the full-res upsample+CE costs ~20%
         # of the step) but a measured QUALITY trade-off, not a free lunch:
@@ -310,7 +332,8 @@ def main():
         # train_profile_notes.md). Full-res stays the parity default.
         try:
             train_row["quarter_loss"] = bench_train(
-                size, batch=4, attn="window", loss_at="quarter")
+                size, batch=4, attn="window", loss_at="quarter",
+                window=16, heads=4)
         except Exception as e:
             train_row["quarter_loss"] = {"error": type(e).__name__}
         # msda (reference-parity decoder) train row: trains via the hybrid

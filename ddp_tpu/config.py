@@ -213,12 +213,19 @@ def _seg(name, backbone, variant, dataset, classes, crop, bs, bit_scale,
     # synthetic convergence (mIoU@3 0.9257 vs 0.9267). 'msda' remains the
     # torch-parity path; tools/import_checkpoint.py forces it because
     # reference checkpoints are MSDA-shaped.
+    # SHAPE (r5): window presets ship the measured-fast 16x16 window /
+    # 4x64-dim heads (decoder_microbench: -29% decoder train; quality
+    # validated equal, converge_seg_w16h4 mIoU@3 0.9273 vs 0.9267). The
+    # msda path keeps the reference 8-head shape for weight import.
+    win_shape = (dict(decoder_window=16, decoder_heads=4)
+                 if decoder_attn == "window" else {})
     return Config(
         name=name,
         model=ModelConfig(
             task="seg", backbone_type=backbone, backbone_variant=variant,
             num_classes=classes, bit_scale=bit_scale, self_aligned=self_aligned,
             drop_path_rate=drop_path, decoder_attn=decoder_attn,
+            **win_shape,
             diffusion=DiffusionConfig(timesteps=timesteps, accumulation=accumulation),
         ),
         data=DataConfig(dataset=dataset, crop_size=crop, batch_size=bs,

@@ -768,6 +768,9 @@ def main():
                           ("seg_aligned", "converge_seg_aligned"),
                           ("seg_window", "converge_seg_window"),
                           ("seg_quarter", "converge_seg_quarter"),
+                          ("seg_msda", "converge_seg_msda"),
+                          ("seg_aligned_msda", "converge_seg_aligned_msda"),
+                          ("seg_w16h4", "converge_seg_w16h4"),
                           ("depth", "converge_depth"), ("bev", "converge_bev"),
                           ("bev_fusion", "converge_bev_fusion"),
                           ("controlnet", "converge_controlnet")):
