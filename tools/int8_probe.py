@@ -22,6 +22,8 @@ import numpy as np
 
 
 def _timed(fn, *args, iters=20):
+    # sub-ms kernels: the relay RTT is ~ms, so the delta window must span
+    # hundreds of iterations to resolve them
     def run(n):
         t0 = time.perf_counter()
         float(fn(*args, n))
@@ -33,7 +35,7 @@ def _timed(fn, *args, iters=20):
     return max((t_big - t_small) / iters, 1e-9)
 
 
-def bench_matmul(m, k, n, dtype, iters=20):
+def bench_matmul(m, k, n, dtype, iters=1000):
     rng = np.random.RandomState(0)
     if dtype == "int8":
         a = jnp.asarray(rng.randint(-127, 127, (m, k)), jnp.int8)
@@ -54,9 +56,15 @@ def bench_matmul(m, k, n, dtype, iters=20):
             s, aa = carry
             out = jax.lax.dot_general(aa, b, (((1,), (0,)), ((), ())),
                                       preferred_element_type=acc)
-            # data dependence: feed a cast of the output row back into a
-            return (s + out[0, 0].astype(jnp.float32),
-                    aa + out[:, :k].astype(aa.dtype) * 0)
+            # data dependence through a FULL reduction of out, fed back
+            # into ONE element of a: anything narrower (a column slice)
+            # lets XLA shrink the dot's n, and a provably-zero feedback
+            # (chk*0) lets it hoist the whole body out of the loop — both
+            # published absurd EFLOP "results" before this form. The
+            # reduce adds ~0.08 ms of HBM traffic, identically per dtype.
+            chk = jnp.sum(out).astype(jnp.float32)
+            aa = aa.at[0, 0].add((chk % 3.0).astype(aa.dtype))
+            return (s + chk, aa)
 
         s, _ = jax.lax.fori_loop(0, n_it, body, (jnp.float32(0), a))
         return s
