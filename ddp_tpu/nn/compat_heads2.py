@@ -88,19 +88,26 @@ class _SABlock(nn.Module):
     @nn.compact
     def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
-        def project(x, name):
-            for i in range(self.num_qk_convs):
-                x = _TokenConvModule(self.channels,
-                                     name=f"{name}{i}")(x, train=train)
+        def make_stack(name):
+            return [_TokenConvModule(self.channels, name=f"{name}{i}")
+                    for i in range(self.num_qk_convs)]
+
+        def apply_stack(stack, x):
+            for m in stack:
+                x = m(x, train=train)
             return x
 
-        q = project(query, "query")
         # share_key_query shares the projection WEIGHTS (the reference sets
         # key_project = query_project, self_attention_block.py:39,57): the
-        # same Dense stack is applied to the KEY tensor, whose token count
-        # may differ from the query's (APNB: PPM-pooled keys) — sharing the
-        # projected activations instead would shape-fail there (advisor r3)
-        k = project(key, "query" if self.share_key_query else "key")
+        # SAME module instances are applied to the KEY tensor, whose token
+        # count may differ from the query's (APNB: PPM-pooled keys) —
+        # sharing projected activations would shape-fail there (advisor
+        # r3), and re-declaring a module under the same name is a flax
+        # NameInUseError — share the instance, not the name.
+        q_stack = make_stack("query")
+        k_stack = q_stack if self.share_key_query else make_stack("key")
+        q = apply_stack(q_stack, query)
+        k = apply_stack(k_stack, key)
         v_dim = self.channels if self.with_out else self.out_channels
         v = nn.Dense(v_dim, name="value")(key)
         attn = jnp.einsum("bqc,bkc->bqk", q, k) * (self.channels ** -0.5)
